@@ -1,0 +1,159 @@
+"""Connected-components + minAreaRect equivalence tests vs OpenCV/scipy."""
+
+import cv2
+import numpy as np
+import pytest
+from scipy.ndimage import binary_propagation
+
+from ysmr_tpu.ops import labeling as lb
+
+
+def _random_blobs(rng, h=96, w=128, n=12, r_max=6):
+    """Synthetic mask with elongated blobs (rotated-ellipse strokes)."""
+    img = np.zeros((h, w), np.uint8)
+    for _ in range(n):
+        cx, cy = rng.integers(5, w - 5), rng.integers(5, h - 5)
+        ax_a = int(rng.integers(2, r_max + 1))
+        ax_b = int(rng.integers(1, max(2, ax_a)))
+        ang = int(rng.integers(0, 180))
+        cv2.ellipse(img, (int(cx), int(cy)), (ax_a, ax_b), ang, 0, 360, 255, -1)
+    return img > 0
+
+
+def _cc_sets(mask, connectivity):
+    n, lab = cv2.connectedComponents(mask.astype(np.uint8), connectivity=connectivity)
+    comps = []
+    for i in range(1, n):
+        ys, xs = np.nonzero(lab == i)
+        comps.append(frozenset(zip(xs.tolist(), ys.tolist())))
+    return set(comps)
+
+
+@pytest.mark.parametrize('connectivity', [4, 8])
+def test_label_components_matches_cv2(rng, connectivity):
+    mask = _random_blobs(rng)
+    labels = np.asarray(lb.label_components(mask, connectivity=connectivity))
+    ours = {}
+    ys, xs = np.nonzero(mask)
+    for x, y in zip(xs.tolist(), ys.tolist()):
+        ours.setdefault(int(labels[y, x]), set()).add((x, y))
+    ours_sets = set(frozenset(s) for s in ours.values())
+    assert ours_sets == _cc_sets(mask, connectivity)
+
+
+def test_label_worst_case_snake():
+    """A long serpentine path stresses propagation depth (pointer jumping)."""
+    h, w = 64, 64
+    mask = np.zeros((h, w), bool)
+    for r in range(0, h, 2):
+        mask[r, :] = True
+        if (r // 2) % 2 == 0 and r + 1 < h:
+            mask[r + 1, w - 1] = True
+        elif r + 1 < h:
+            mask[r + 1, 0] = True
+    labels = np.asarray(lb.label_components(mask, connectivity=8, max_iters=256))
+    vals = np.unique(labels[mask])
+    assert len(vals) == 1  # single component
+
+
+def test_compact_labels_reverse_raster_order(rng):
+    mask = _random_blobs(rng)
+    labels = lb.label_components(mask, connectivity=8)
+    comp, n = lb.compact_labels(labels, mask, max_det=64)
+    comp = np.asarray(comp)
+    n = int(n)
+    # ids ordered by *descending* raster position of each component's first
+    # pixel — cv2.findContours enumeration order
+    firsts = []
+    flat = comp.reshape(-1)
+    for i in range(n):
+        firsts.append(np.nonzero(flat == i)[0].min())
+    assert firsts == sorted(firsts, reverse=True)
+    assert (flat[~mask.reshape(-1)] == 64).all()
+
+
+def test_propagate_markers_matches_scipy(rng):
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        mask = _random_blobs(r)
+        strict = _random_blobs(r, n=6) & mask  # markers subset of mask
+        ref = binary_propagation(strict, mask=mask)
+        ours = np.asarray(lb.propagate_markers(mask, strict))
+        assert np.array_equal(ours, ref)
+
+
+def _detect_components(mask, max_det=64, max_bh=32):
+    labels = lb.label_components(mask, connectivity=8)
+    comp, n = lb.compact_labels(labels, mask, max_det=max_det)
+    tables = lb.component_tables(comp, mask, max_det=max_det, max_bh=max_bh)
+    rect = lb.min_area_rect(tables['points'], tables['points_valid'])
+    return {k: np.asarray(v) for k, v in tables.items() if k != 'points'}, \
+        {k: np.asarray(v) for k, v in rect.items()}, int(n)
+
+
+def test_min_area_rect_matches_cv2(rng):
+    for seed in range(8):
+        r = np.random.default_rng(100 + seed)
+        mask = _random_blobs(r)
+        tables, rect, n = _detect_components(mask)
+        contours, _ = cv2.findContours(mask.astype(np.uint8) * 255,
+                                       cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        assert len(contours) == n
+        refs = [cv2.minAreaRect(c) for c in contours]
+        # match by centre proximity (enumeration order tested separately)
+        used = set()
+        for i in range(n):
+            c_ours = np.array([rect['cx'][i], rect['cy'][i]])
+            best_j, best_d = None, 1e9
+            for j, ((rx, ry), _, _) in enumerate(refs):
+                if j in used:
+                    continue
+                d = np.hypot(rx - c_ours[0], ry - c_ours[1])
+                if d < best_d:
+                    best_j, best_d = j, d
+            assert best_d < 0.75, (i, best_d)
+            used.add(best_j)
+            (_, _), (rw, rh), _ = refs[best_j]
+            ours_sides = sorted([rect['w'][i], rect['h'][i]])
+            ref_sides = sorted([rw, rh])
+            # area parity is what drives the selection gates; it must hold
+            # always, including equal-area ties (see min_area_rect docstring)
+            a_ours = max(ours_sides[0] * ours_sides[1], 1e-6)
+            a_ref = max(ref_sides[0] * ref_sides[1], 1e-6)
+            assert a_ours == pytest.approx(a_ref, rel=0.005, abs=0.05)
+            tie = abs(ours_sides[0] - ref_sides[0]) > 0.12
+            if not tie:  # same representative chosen -> sides must agree
+                assert ours_sides[0] == pytest.approx(ref_sides[0], abs=0.12)
+                assert ours_sides[1] == pytest.approx(ref_sides[1], abs=0.12)
+
+
+def test_min_area_rect_degenerate_cases():
+    mask = np.zeros((32, 32), bool)
+    mask[5, 5] = True                     # single pixel -> w = h = 0
+    mask[10, 10:15] = True                # horizontal line -> one side 0
+    mask[20:22, 20:22] = True             # 2x2 square -> 1 x 1
+    tables, rect, n = _detect_components(mask)
+    assert n == 3
+    # enumeration is reverse raster order: [square, line, single pixel]
+    assert rect['w'][2] == pytest.approx(0.0, abs=1e-4)
+    assert rect['h'][2] == pytest.approx(0.0, abs=1e-4)
+    sides1 = sorted([rect['w'][1], rect['h'][1]])
+    assert sides1[0] == pytest.approx(0.0, abs=1e-3)
+    assert sides1[1] == pytest.approx(4.0, abs=1e-2)
+    sides2 = sorted([rect['w'][0], rect['h'][0]])
+    assert sides2 == pytest.approx([1.0, 1.0], abs=1e-2)
+
+
+def test_findcontours_enumeration_order():
+    """Detection order must match the reference's contour order, which sets
+    registration order and therefore TRACK_IDs."""
+    for seed in range(4):
+        rng = np.random.default_rng(300 + seed)
+        mask = _random_blobs(rng, n=8)
+        tables, rect, n = _detect_components(mask)
+        contours, _ = cv2.findContours(mask.astype(np.uint8) * 255,
+                                       cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        ref_centers = np.array([cv2.minAreaRect(c)[0] for c in contours])
+        ours_centers = np.stack([rect['cx'][:n], rect['cy'][:n]], axis=1)
+        diff = np.linalg.norm(ref_centers - ours_centers, axis=1)
+        assert (diff < 0.75).all(), (seed, diff)

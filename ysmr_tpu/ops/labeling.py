@@ -1,0 +1,300 @@
+#!/usr/bin/env python3
+"""Connected-components labeling and per-component rotated extents on device.
+
+Replaces the reference's ``cv2.findContours(RETR_EXTERNAL)`` +
+``cv2.minAreaRect`` per contour (track_eval.py:273-304) and
+``scipy.ndimage.binary_propagation`` (track_eval.py:211-214) with batched,
+statically-shaped JAX ops:
+
+* **Labeling**: iterative min-label propagation with pointer jumping
+  (label <- min(neighbour labels); label <- label[label]), which converges in
+  O(log diameter) iterations inside a ``lax.while_loop``. Components are
+  compacted to dense ids ordered by their minimum linear pixel index — i.e.
+  raster-scan first-encounter order, matching the contour enumeration order
+  of the reference (verified in tests).
+* **binary_propagation equivalence**: scipy's reconstruction-by-dilation of
+  the marker image under the mask (4-connected structuring element) equals
+  "keep every 4-connected mask component containing at least one marker
+  pixel" because the markers are a subset of the mask (the marker threshold
+  is strictly stricter). One labeling pass + one segment-max.
+* **minAreaRect equivalence**: per component the convex hull of the pixel
+  set is spanned by the per-row x-extremes, so extents along *any* direction
+  computed from those <= 2*max_bbox_h candidate points are exact. The
+  min-area angle is found by a coarse-to-fine sweep (exact up to the final
+  angular step, ~0.06 deg by default); the rotating-calipers optimum always
+  lies at a hull-edge angle, so the sweep bounds the area error tightly.
+  Width/height/center match OpenCV to sub-pixel tolerance (tests).
+
+All entry points operate on a single frame; use ``jax.vmap`` for batches.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _neighbor_min(lab, invalid, connectivity):
+    """Min label over the 4- or 8-neighbourhood (edges padded with invalid)."""
+    big = invalid
+    pad = jnp.pad(lab, 1, mode='constant', constant_values=big)
+    h, w = lab.shape
+    up = pad[0:h, 1:w + 1]
+    down = pad[2:h + 2, 1:w + 1]
+    left = pad[1:h + 1, 0:w]
+    right = pad[1:h + 1, 2:w + 2]
+    m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+    if connectivity == 8:
+        ul = pad[0:h, 0:w]
+        ur = pad[0:h, 2:w + 2]
+        dl = pad[2:h + 2, 0:w]
+        dr = pad[2:h + 2, 2:w + 2]
+        m = jnp.minimum(m, jnp.minimum(jnp.minimum(ul, ur), jnp.minimum(dl, dr)))
+    return m
+
+
+@partial(jax.jit, static_argnames=('connectivity', 'max_iters'))
+def label_components(mask, connectivity=8, max_iters=64):
+    """Label connected components of a boolean mask.
+
+    :param mask: (H, W) bool
+    :param connectivity: 4 or 8 (reference: 8 for contours, 4 for propagation)
+    :param max_iters: safety bound on the while loop
+    :return: (H, W) int32 labels — for foreground pixels the minimum linear
+        index of their component; background pixels hold H*W (invalid)
+    """
+    h, w = mask.shape
+    n = h * w
+    invalid = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(mask, idx, invalid)
+
+    def body(state):
+        lab, _, it = state
+        neigh = _neighbor_min(lab, invalid, connectivity)
+        new = jnp.where(mask, jnp.minimum(lab, neigh), invalid)
+        # pointer jumping: follow the candidate-root indirection once
+        flat = new.reshape(-1)
+        hop = flat[jnp.clip(flat, 0, n - 1)]
+        new = jnp.where(mask, jnp.minimum(new, hop.reshape(h, w)), invalid)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+    return lab
+
+
+@partial(jax.jit, static_argnames=('max_det', 'reverse'))
+def compact_labels(labels, mask, max_det, reverse=True):
+    """Map root labels to dense component ids.
+
+    With ``reverse=True`` (default) ids run in *reverse* raster-scan order of
+    each component's first pixel — the enumeration order of
+    ``cv2.findContours``, whose output list is built head-first (verified in
+    tests/test_labeling.py); this order sets detection order, registration
+    order, and therefore TRACK_ID assignment parity with the reference.
+
+    :param labels: (H, W) int32 from :func:`label_components`
+    :param mask: (H, W) bool foreground
+    :param max_det: static capacity; components beyond it and all background
+        pixels map to the overflow bucket ``max_det``
+    :return: (comp_id (H, W) int32 in [0, max_det], n_components int32)
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = (flat == idx) & mask.reshape(-1)
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank at root positions
+    n_components = rank[-1] + 1
+    root_rank = jnp.where(is_root, rank, 0)
+    comp = root_rank[jnp.clip(flat, 0, n - 1)]
+    if reverse:
+        comp = n_components - 1 - comp
+    comp = jnp.where(mask.reshape(-1), jnp.minimum(comp, max_det), max_det)
+    return comp.reshape(h, w), n_components
+
+
+@partial(jax.jit, static_argnames=('connectivity', 'max_iters'))
+def propagate_markers(mask, markers, connectivity=4, max_iters=64):
+    """scipy.ndimage.binary_propagation(markers, mask=mask) equivalent.
+
+    Keeps the 4-connected components of ``mask`` that contain at least one
+    marker pixel (track_eval.py:211-214; markers are a subset of the mask by
+    construction of the double threshold).
+
+    :return: (H, W) bool reconstructed mask
+    """
+    h, w = mask.shape
+    n = h * w
+    labels = label_components(mask, connectivity=connectivity, max_iters=max_iters)
+    flat = labels.reshape(-1)
+    marked = jax.ops.segment_max(
+        (markers & mask).reshape(-1).astype(jnp.int32),
+        jnp.clip(flat, 0, n),
+        num_segments=n + 1)
+    kept = marked[jnp.clip(flat, 0, n - 1)] > 0
+    return kept.reshape(h, w) & mask
+
+
+@partial(jax.jit, static_argnames=('max_det', 'max_bh'))
+def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
+    """Per-component statistics and convex-hull candidate points.
+
+    :param comp_id: (H, W) int32 dense ids (overflow/background = max_det)
+    :param mask: (H, W) bool
+    :param gray: optional (H, W) int32 grayscale for luminosity sums
+    :param max_det: static detection capacity
+    :param max_bh: static max bounding-box height used for the per-row
+        x-extremes table (components taller than this lose hull candidates
+        in the clipped rows; bacteria are far smaller)
+    :return: dict with per-component arrays of shape (max_det, ...):
+        count, min_x/max_x/min_y/max_y, candidate points (max_det, 2*max_bh, 2)
+        float32 with validity mask, and optional lum_sum
+    """
+    h, w = comp_id.shape
+    seg = comp_id.reshape(-1)
+    ones = mask.reshape(-1).astype(jnp.int32)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    nseg = max_det + 1
+    count = jax.ops.segment_sum(ones, seg, num_segments=nseg)
+    big = jnp.int32(1 << 30)
+    x_masked_min = jnp.where(ones > 0, xs, big)
+    y_masked_min = jnp.where(ones > 0, ys, big)
+    x_masked_max = jnp.where(ones > 0, xs, -big)
+    y_masked_max = jnp.where(ones > 0, ys, -big)
+    min_x = jax.ops.segment_min(x_masked_min, seg, num_segments=nseg)
+    max_x = jax.ops.segment_max(x_masked_max, seg, num_segments=nseg)
+    min_y = jax.ops.segment_min(y_masked_min, seg, num_segments=nseg)
+    max_y = jax.ops.segment_max(y_masked_max, seg, num_segments=nseg)
+
+    # per-(component, bbox-row) x extremes -> hull candidate points
+    rel_y = jnp.clip(ys - min_y[seg], 0, max_bh - 1)
+    row_key = jnp.where(ones > 0, seg * max_bh + rel_y, max_det * max_bh)
+    nrow = max_det * max_bh + 1
+    row_min_x = jax.ops.segment_min(x_masked_min, row_key, num_segments=nrow)
+    row_max_x = jax.ops.segment_max(x_masked_max, row_key, num_segments=nrow)
+    row_min_x = row_min_x[:max_det * max_bh].reshape(max_det, max_bh)
+    row_max_x = row_max_x[:max_det * max_bh].reshape(max_det, max_bh)
+    row_valid = row_min_x < big
+    abs_y = (min_y[:max_det, None] + jnp.arange(max_bh, dtype=jnp.int32)[None, :])
+    pts_x = jnp.concatenate([row_min_x, row_max_x], axis=1).astype(jnp.float32)
+    pts_y = jnp.concatenate([abs_y, abs_y], axis=1).astype(jnp.float32)
+    pts = jnp.stack([pts_x, pts_y], axis=-1)  # (max_det, 2*max_bh, 2)
+    pts_valid = jnp.concatenate([row_valid, row_valid], axis=1)
+
+    out = {
+        'count': count[:max_det],
+        'min_x': min_x[:max_det], 'max_x': max_x[:max_det],
+        'min_y': min_y[:max_det], 'max_y': max_y[:max_det],
+        'points': pts, 'points_valid': pts_valid,
+    }
+    if gray is not None:
+        lum = jnp.where(ones > 0, gray.reshape(-1), 0)
+        out['lum_sum'] = jax.ops.segment_sum(lum, seg, num_segments=nseg)[:max_det]
+    return out
+
+
+def _sweep_extents(pts, valid, angles):
+    """Extents of candidate points along a set of directions.
+
+    :param pts: (D, P, 2) float32; valid (D, P) bool; angles (K,) radians
+    :return: (min_u, max_u, min_v, max_v) each (D, K)
+    """
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    # u = (cos, sin), v = (-sin, cos)
+    proj_u = pts[..., 0][:, None, :] * cos[None, :, None] + \
+        pts[..., 1][:, None, :] * sin[None, :, None]     # (D, K, P)
+    proj_v = -pts[..., 0][:, None, :] * sin[None, :, None] + \
+        pts[..., 1][:, None, :] * cos[None, :, None]
+    big = jnp.float32(3.0e38)
+    vmask = valid[:, None, :]
+    min_u = jnp.min(jnp.where(vmask, proj_u, big), axis=-1)
+    max_u = jnp.max(jnp.where(vmask, proj_u, -big), axis=-1)
+    min_v = jnp.min(jnp.where(vmask, proj_v, big), axis=-1)
+    max_v = jnp.max(jnp.where(vmask, proj_v, -big), axis=-1)
+    return min_u, max_u, min_v, max_v
+
+
+@partial(jax.jit, static_argnames=('coarse_k', 'fine_k'))
+def min_area_rect(pts, valid, coarse_k=96, fine_k=17):
+    """Minimum-area enclosing rectangle via coarse-to-fine angle sweep.
+
+    Semantics of cv2.minAreaRect on the component's pixel-centre point set
+    (track_eval.py:287): returns centre (cx, cy), side lengths (w, h) as
+    point-extents, and the angle of the w side in degrees within [0, 90).
+    Exact up to the final angular resolution (90 deg / coarse_k / fine_k).
+
+    Known deviation: when several rectangles share the minimal area (common
+    for tiny symmetric integer blobs, e.g. diamonds), OpenCV's rotating
+    calipers returns the hull-edge-aligned representative while the sweep may
+    return a different equal-area one; the enclosed area — which drives the
+    selection gates — is identical, only the (w, h, angle) decomposition of
+    that area differs (tests/test_labeling.py documents this).
+
+    :param pts: (D, P, 2) float32 hull candidates; valid (D, P) bool
+    :return: dict of (D,) arrays: cx, cy, w, h, angle_deg
+    """
+    d = pts.shape[0]
+    half_pi = jnp.float32(np.pi / 2)
+    coarse = jnp.arange(coarse_k, dtype=jnp.float32) * (half_pi / coarse_k)
+    min_u, max_u, min_v, max_v = _sweep_extents(pts, valid, coarse)
+    area = (max_u - min_u) * (max_v - min_v)
+    best = jnp.argmin(area, axis=1)  # (D,)
+    best_angle = coarse[best]
+    # fine sweep around the best coarse angle; grid is centred so the coarse
+    # optimum itself is always re-evaluated (fine can never be worse)
+    step = half_pi / coarse_k
+    half = (fine_k - 1) // 2
+    offs = (jnp.arange(fine_k, dtype=jnp.float32) - half) * (step / max(half, 1))
+    fine = best_angle[:, None] + offs[None, :]  # (D, K2)
+
+    def fine_extents(p, vmask, ang):
+        cos = jnp.cos(ang)[:, :, None]  # (D, K2, 1)
+        sin = jnp.sin(ang)[:, :, None]
+        px = p[..., 0][:, None, :]      # (D, 1, P)
+        py = p[..., 1][:, None, :]
+        pu = px * cos + py * sin        # (D, K2, P)
+        pv = -px * sin + py * cos
+        big = jnp.float32(3.0e38)
+        vm = vmask[:, None, :]
+        return (jnp.min(jnp.where(vm, pu, big), axis=-1),
+                jnp.max(jnp.where(vm, pu, -big), axis=-1),
+                jnp.min(jnp.where(vm, pv, big), axis=-1),
+                jnp.max(jnp.where(vm, pv, -big), axis=-1))
+
+    fmin_u, fmax_u, fmin_v, fmax_v = fine_extents(pts, valid, fine)
+    farea = (fmax_u - fmin_u) * (fmax_v - fmin_v)
+    fbest = jnp.argmin(farea, axis=1)
+    rows = jnp.arange(d)
+    ang = fine[rows, fbest]
+    mu0, mu1 = fmin_u[rows, fbest], fmax_u[rows, fbest]
+    mv0, mv1 = fmin_v[rows, fbest], fmax_v[rows, fbest]
+    w_side = mu1 - mu0
+    h_side = mv1 - mv0
+    cu = (mu0 + mu1) * 0.5
+    cv_ = (mv0 + mv1) * 0.5
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    cx = cu * cos - cv_ * sin
+    cy = cu * sin + cv_ * cos
+    # normalise angle into [0, 90) keeping w along the reported angle
+    ang_deg = jnp.degrees(ang)
+    neg = ang_deg < 0
+    ang_deg = jnp.where(neg, ang_deg + 90.0, ang_deg)
+    w_out = jnp.where(neg, h_side, w_side)
+    h_out = jnp.where(neg, w_side, h_side)
+    over = ang_deg >= 90.0
+    ang_deg = jnp.where(over, ang_deg - 90.0, ang_deg)
+    w_out2 = jnp.where(over, h_out, w_out)
+    h_out2 = jnp.where(over, w_out, h_out)
+    return {'cx': cx, 'cy': cy, 'w': w_out2, 'h': h_out2, 'angle_deg': ang_deg}

@@ -1,0 +1,228 @@
+#!/usr/bin/env python3
+"""track_bacteria(): video -> _list.csv via device-batched detect + track.
+
+Public stage-1 entry point with the reference's contract
+(track_eval.py:38-405): validates the file and frame count, honours the fps
+settings, writes the ``_list.csv`` artifact incrementally (flushed every
+``list save length interval`` rows), restores a renamed previous list on
+error, logs the end-of-run throughput line, and returns
+``(df, fps, frame_height, frame_width, csv_path)``.
+
+The per-frame Python loop of the reference is replaced by: background host
+decode (io/video.py) -> jitted batched detection (pipeline/detect.py) ->
+jitted tracker scan (pipeline/tracker.py) -> host CSV compaction. Device
+work for batch N+1 overlaps host writing of batch N.
+"""
+
+import logging
+import os
+
+import numpy as np
+
+from ysmr_tpu.config import get_configs
+from ysmr_tpu.io.video import BatchedVideoReader, VideoReadError
+from ysmr_tpu.ops import gsff as gsff_ops
+from ysmr_tpu.ops import preprocess as pp
+from ysmr_tpu.pipeline import detect as det
+from ysmr_tpu.pipeline import tracker as trk
+from ysmr_tpu.utils.csv_io import save_list, sort_list
+from ysmr_tpu.utils.files import create_results_folder
+from ysmr_tpu.utils.logging_utils import get_loggers
+
+
+def _compact_emissions(emissions, batch_start, frame_offset_valid):
+    """(T, S) padded emissions -> column arrays sorted by (frame, id)."""
+    mask = np.asarray(emissions['mask'])
+    ids = np.asarray(emissions['ids'])
+    pos = np.asarray(emissions['pos'])
+    info = np.asarray(emissions['info'])
+    t_len, s = mask.shape
+    frames = np.broadcast_to(np.arange(t_len)[:, None], (t_len, s))
+    valid_t = frame_offset_valid[:, None] & mask
+    sel = np.nonzero(valid_t)
+    if sel[0].size == 0:
+        return None
+    f = frames[sel] + batch_start
+    i = ids[sel]
+    order = np.lexsort((i, f))
+    out = {
+        'TRACK_ID': i[order],
+        'POSITION_T': f[order],
+        'POSITION_X': pos[sel][order][:, 0].astype(np.float64),
+        'POSITION_Y': pos[sel][order][:, 1].astype(np.float64),
+        'WIDTH': info[sel][order][:, 0].astype(np.float64),
+        'HEIGHT': info[sel][order][:, 1].astype(np.float64),
+        'DEGREES_ANGLE': info[sel][order][:, 2].astype(np.float64),
+    }
+    if pos.shape[-1] > 2:
+        out['ILLUMINATION'] = pos[sel][order][:, 2].astype(np.float64)
+    return out
+
+
+def track_bacteria(video_path, settings=None, result_folder=None):
+    """Detect and track bright spots in a video file, save to _list.csv.
+
+    :return: (df, fps, frame_height, frame_width, csv_path) or None on error
+    """
+    logger = logging.getLogger('ysmr').getChild(__name__)
+    settings = get_configs(settings)
+    if settings is None:
+        logger.critical('No settings provided / could not get settings.')
+        return None
+    get_loggers(log_level=settings['log_level'],
+                logfile_name=settings['log file path'],
+                short_stream_output=settings['shorten displayed logging output'],
+                short_file_output=settings['shorten logfile logging output'],
+                log_to_file=settings['log to file'])
+    if not os.path.isfile(video_path):
+        logger.critical('File %s does not exist', video_path)
+        return None
+    try:
+        reader = BatchedVideoReader(
+            video_path,
+            batch_size=settings['frame batch size'],
+            prefetch=settings['prefetch batches'],
+            color_filter=settings['color filter'])
+    except VideoReadError as err:
+        logger.exception('Problem opening file %s: %s', video_path, err)
+        return None
+
+    frame_count = reader.frame_count
+    if frame_count < settings['minimal frame count']:
+        logger.warning('File %s too short; file was skipped. Limit for '
+                       "'minimal frame count': %s", video_path,
+                       settings['minimal frame count'])
+        return None
+    if not settings['force tracking.ini fps settings']:
+        fps_of_file = reader.fps
+        if settings['verbose'] or fps_of_file != settings['frames per second']:
+            logger.info('fps of file: %s', fps_of_file)
+        if not fps_of_file or fps_of_file <= 0:
+            if settings['frames per second'] <= 0:
+                logger.critical('User defined fps unacceptable: %s',
+                                settings['frames per second'])
+                return None
+            fps_of_file = settings['frames per second']
+    else:
+        fps_of_file = settings['frames per second']
+
+    if not result_folder:
+        result_folder = create_results_folder(video_path)
+    logger.info('Starting with file %s', video_path)
+
+    old_list, list_name = save_list(
+        path=video_path, result_folder=result_folder, first_call=True,
+        rename_old_list=settings['rename previous result .csv'],
+        illumination=settings['include luminosity in tracking calculation'])
+
+    frame_height, frame_width = reader.height, reader.width
+    if settings['verbose']:
+        logger.debug('Frame height: %s, width: %s', frame_height, frame_width)
+
+    config = det.DetectorConfig(settings, fps_of_file)
+    use_gsff = not settings['disable gsff']
+    dims = 3 if config.include_luminosity else 2
+    max_slots = settings['max track slots']
+    tracker_kwargs = dict(max_disappeared=float(fps_of_file), use_gsff=use_gsff)
+    if use_gsff:
+        params = gsff_ops.GSFFParams(
+            fps=fps_of_file,
+            n_min=settings['minimum horizon size'],
+            n_max=settings['maximum horizon size'],
+            n_f=settings['number of LSFFs'])
+        state = trk.init_tracker_state(max_slots, dims=dims, use_gsff=True,
+                                       gsff_params=params)
+        tracker_kwargs.update(gsff_gains=params.gains, gsff_n_i=params.n_i_arr,
+                              gsff_n_f=params.n_f, gsff_n_i0=params.n_i[0])
+    else:
+        state = trk.init_tracker_state(max_slots, dims=dims)
+
+    threshold_state = pp.MovingAverageThreshold(
+        fps=fps_of_file, offset=config.offset,
+        white_on_dark=config.white_on_dark) if config.mode == 'mean' else None
+
+    import time
+    t_start = time.perf_counter()
+    pending = []  # accumulated column arrays awaiting flush
+    pending_rows = 0
+    flush_every = settings['list save length interval']
+    error_during_read = False
+    frames_processed = 0
+    overflow_warned = False
+
+    def flush():
+        nonlocal pending, pending_rows
+        if not pending:
+            return
+        arrays = {k: np.concatenate([p[k] for p in pending]) for k in pending[0]}
+        save_list(arrays=arrays, path=list_name,
+                  illumination=config.include_luminosity)
+        pending = []
+        pending_rows = 0
+
+    try:
+        for batch in reader:
+            frames = batch['frames']
+            count = batch['count']
+            frame_valid = np.zeros((frames.shape[0],), bool)
+            frame_valid[:count] = True
+            tables = det.detect_batch(frames, frame_valid, config,
+                                      threshold_state=threshold_state)
+            n_comp = np.asarray(tables['n_components'])
+            if not overflow_warned and (n_comp[:count] > config.max_det).any():
+                overflow_warned = True
+                logger.warning(
+                    'Frame(s) with more than %s detections; extra components '
+                    "dropped. Raise 'max detections per frame' in [TPU "
+                    'SETTINGS].', config.max_det)
+            state, emissions = trk.run_tracker_scan(
+                state, tables['det_xy'], tables['det_info'],
+                tables['det_valid'], **tracker_kwargs)
+            out = _compact_emissions(emissions, batch['start'], frame_valid)
+            frames_processed += count
+            if out is not None:
+                pending.append(out)
+                pending_rows += len(out['TRACK_ID'])
+                if pending_rows >= flush_every:
+                    flush()
+    except VideoReadError:
+        logger.critical('Error during read with file %s', video_path)
+        error_during_read = settings['stop evaluation on error']
+    flush()
+
+    dropped = int(np.asarray(state['dropped_registrations']))
+    if dropped:
+        logger.warning('%s registrations dropped (track slot capacity %s '
+                       "reached); raise 'max track slots' in [TPU SETTINGS].",
+                       dropped, max_slots)
+
+    if old_list and error_during_read:
+        try:
+            os.remove(list_name)
+            os.rename(old_list, list_name)
+            logger.info('Restoring old list: %s', list_name)
+        except (OSError, FileNotFoundError) as file_removal_error:
+            logger.error('Error restoring %s: %r', list_name,
+                         file_removal_error.args)
+
+    last_object_id = int(np.asarray(state['next_id'])) - 1
+    if last_object_id < 0:
+        logger.warning('Did not track any objects. File: %s', video_path)
+        return None
+
+    df_for_eval = sort_list(file_path=list_name,
+                            save_file=not settings['delete .csv file after analysis'])
+    elapsed = time.perf_counter() - t_start
+    analysis_fps = frames_processed / elapsed if elapsed > 0 else float('inf')
+    logger.info(
+        'Average frames analysed per second: %s, objects: %s, frames: %s, csv: %s',
+        '{:.2f}'.format(analysis_fps).rjust(6, ' '),
+        '{}'.format(last_object_id + 1).rjust(6, ' '),
+        '{:>6} of {:>6}'.format(frames_processed, frame_count),
+        list_name)
+
+    if error_during_read:
+        logger.critical('Error during read, stopping before evaluation. '
+                        'File: %s', video_path)
+        return None
+    return df_for_eval, fps_of_file, frame_height, frame_width, list_name

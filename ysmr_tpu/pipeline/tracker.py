@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Device-resident centroid tracker: a lax.scan over frames of detections.
+
+Replaces the reference's ``CentroidTracker`` (tracker.py:27-230) — an
+OrderedDict-of-objects updated per frame in Python — with a padded slot table
+updated by pure vectorised ops and scanned over a batch of frames:
+
+* rows of the distance matrix are the active slots in ascending-object-id
+  order (the reference's OrderedDict insertion order, tracker.py:144-151);
+* matching is the reference's greedy first-come rule (ops/assignment.py);
+* if rows >= detections, unmatched rows age (disappeared++, side info
+  zeroed, deregistration past max_disappeared — tracker.py:198-211); if
+  detections exceed rows, unmatched detections register in ascending column
+  order and receive consecutive ids (tracker.py:215-217 — CPython iterates
+  the small-int set in ascending order);
+* an empty frame ages every object but still runs the GSFF block
+  (tracker.py:95-107, 219-227);
+* with GSFF enabled the emitted position is ``correct()``'s estimate and the
+  stored position for the next frame's distance matrix is ``predict()``'s
+  one-step-ahead estimate (tracker.py:219-227); disappeared-but-alive objects
+  feed their own prediction back as the measurement.
+
+Emissions are (T, S) padded tables the host compacts into _list.csv rows.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ysmr_tpu.ops import assignment as asg
+from ysmr_tpu.ops import gsff as gsff_ops
+
+INT_MAX = jnp.int32(2 ** 31 - 1)
+
+
+def init_tracker_state(max_slots, dims=2, use_gsff=False, gsff_params=None):
+    """Fresh tracker state pytree. ``dims`` is 2 or 3 (with luminosity)."""
+    state = {
+        'active': jnp.zeros((max_slots,), dtype=bool),
+        'ids': jnp.zeros((max_slots,), dtype=jnp.int32),
+        'pos': jnp.zeros((max_slots, dims), dtype=jnp.float32),
+        'info': jnp.zeros((max_slots, 3), dtype=jnp.float32),
+        'disappeared': jnp.zeros((max_slots,), dtype=jnp.int32),
+        'next_id': jnp.int32(0),
+        'dropped_registrations': jnp.int32(0),
+    }
+    if use_gsff:
+        state['gsff'] = gsff_ops.init_state(gsff_params, max_slots)
+    return state
+
+
+def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
+                          max_disappeared, use_gsff, gsff_gains, gsff_n_i,
+                          gsff_n_f, gsff_n_i0):
+    """One frame of CentroidTracker.update semantics over the slot table."""
+    active = state['active']
+    ids = state['ids']
+    pos = state['pos']
+    info = state['info']
+    disappeared = state['disappeared']
+    next_id = state['next_id']
+    s = active.shape[0]
+    c = det_valid.shape[0]
+
+    n_obj = jnp.sum(active.astype(jnp.int32))
+    n_det = jnp.sum(det_valid.astype(jnp.int32))
+    has_det = n_det > 0
+
+    # rows = active slots in ascending-id order
+    sortkey = jnp.where(active, ids, INT_MAX)
+    perm = jnp.argsort(sortkey, stable=True)          # row -> slot
+    row_valid = active[perm]
+    d = asg.pairwise_distances(pos[perm], row_valid, det_xy, det_valid)
+    res = asg.greedy_assign(d, row_valid, det_valid)
+    slot_to_col = jnp.full((s,), -1, jnp.int32).at[perm].set(res['row_to_col'])
+    col_matched = res['col_matched']
+
+    matched = has_det & (slot_to_col >= 0)
+    col_idx = jnp.clip(slot_to_col, 0, c - 1)
+    pos_new = jnp.where(matched[:, None], det_xy[col_idx], pos)
+    info_new = jnp.where(matched[:, None], det_info[col_idx], info)
+    dis_new = jnp.where(matched, 0, disappeared)
+
+    # ageing: all active slots when the frame is empty (tracker.py:95-107);
+    # unmatched active slots when rows >= cols (tracker.py:198-211)
+    age_mask = jnp.where(
+        has_det,
+        active & ~matched & (n_obj >= n_det),
+        active)
+    dis_new = dis_new + age_mask.astype(jnp.int32)
+    info_new = jnp.where(age_mask[:, None], 0.0, info_new)
+    dereg = age_mask & (dis_new.astype(jnp.float32) > max_disappeared)
+    active_new = active & ~dereg
+
+    # registration: unmatched detections when cols > rows (tracker.py:215-217)
+    do_register = has_det & (n_det > n_obj)
+    unmatched_col = det_valid & ~col_matched & do_register
+    col_rank = jnp.cumsum(unmatched_col.astype(jnp.int32)) - 1
+    n_new = jnp.sum(unmatched_col.astype(jnp.int32))
+    free = ~active_new
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    # col_of_rank[k] = the column holding the k-th registration
+    col_of_rank = jnp.zeros((c,), jnp.int32).at[
+        jnp.where(unmatched_col, col_rank, c)].set(
+            jnp.arange(c, dtype=jnp.int32), mode='drop')
+    reg_slot = free & (free_rank < n_new)
+    reg_col = col_of_rank[jnp.clip(free_rank, 0, c - 1)]
+    n_registered = jnp.sum(reg_slot.astype(jnp.int32))
+    dropped = state['dropped_registrations'] + (n_new - n_registered)
+
+    active_new = active_new | reg_slot
+    ids_new = jnp.where(reg_slot, next_id + free_rank, ids)
+    pos_new = jnp.where(reg_slot[:, None], det_xy[reg_col], pos_new)
+    info_new = jnp.where(reg_slot[:, None], det_info[reg_col], info_new)
+    dis_new = jnp.where(reg_slot, 0, dis_new)
+    next_id_new = next_id + n_new  # reference increments per registration
+
+    new_state = {
+        'active': active_new,
+        'ids': ids_new,
+        'pos': pos_new,
+        'info': info_new,
+        'disappeared': dis_new,
+        'next_id': next_id_new,
+        'dropped_registrations': dropped,
+    }
+
+    if use_gsff:
+        g = state['gsff']
+        m = pos_new[:, :2].astype(jnp.float32)
+        # fresh state for newly-registered slots: previous_measurements is
+        # [m] * n_i[0] (gsff.py:279-281); the whole ring is filled with m
+        gstate = {
+            'buf': jnp.where(reg_slot[:, None, None],
+                             jnp.broadcast_to(m[:, None, :], g['buf'].shape),
+                             g['buf']),
+            'len': jnp.where(reg_slot, jnp.int32(gsff_n_i0), g['len']),
+            'mode': jnp.where(reg_slot, 0, g['mode']),
+            'log_w': jnp.where(reg_slot[:, None], gsff_ops.NEG_INF, g['log_w']),
+        }
+        gstate, corrected, predicted = gsff_ops._step(
+            gsff_gains, gsff_n_i, gsff_n_f, gstate, m, active_new)
+        emit_pos = jnp.where(active_new[:, None],
+                             jnp.concatenate([corrected, pos_new[:, 2:]], axis=1),
+                             pos_new)
+        stored_pos = jnp.where(active_new[:, None],
+                               jnp.concatenate([predicted, pos_new[:, 2:]], axis=1),
+                               pos_new)
+        new_state['gsff'] = gstate
+        new_state['pos'] = stored_pos
+    else:
+        emit_pos = pos_new
+
+    emission = {
+        'mask': active_new,
+        'ids': jnp.where(active_new, ids_new, 0),
+        'pos': emit_pos,
+        'info': info_new,
+    }
+    return new_state, emission
+
+
+@partial(jax.jit,
+         static_argnames=('max_disappeared', 'use_gsff', 'gsff_n_f', 'gsff_n_i0'))
+def run_tracker_scan(state, det_xy, det_info, det_valid, *, max_disappeared,
+                     use_gsff=False, gsff_gains=None, gsff_n_i=None, gsff_n_f=3,
+                     gsff_n_i0=10):
+    """Scan the tracker over a batch of frames.
+
+    :param state: tracker state pytree (carried between batches)
+    :param det_xy: (T, C, K) float32 detection positions
+    :param det_info: (T, C, 3) float32 (w, h, angle) per detection
+    :param det_valid: (T, C) bool
+    :return: (new_state, emissions) — emissions are (T, S) padded arrays
+    """
+    def step(st, frame):
+        xy, inf, valid = frame
+        return _tracker_frame_update(
+            st, xy, inf, valid, max_disappeared=max_disappeared,
+            use_gsff=use_gsff, gsff_gains=gsff_gains, gsff_n_i=gsff_n_i,
+            gsff_n_f=gsff_n_f, gsff_n_i0=gsff_n_i0)
+
+    return jax.lax.scan(step, state, (det_xy, det_info, det_valid))
