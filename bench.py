@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Benchmark: frames/sec/chip at 1228x922 detect+track vs the CPU reference.
+
+Generates a synthetic 1228x922 @ 30 fps clip with ~200 bacteria-like rods
+(the paper's "several hundred objects" scale, BASELINE.md), runs the
+reference OpenCV pipeline (if present at /root/reference) to establish the
+CPU baseline, runs this build's device pipeline on the same clip, and prints
+ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Both sides measure the full track_bacteria stage (decode -> detect -> track
+-> CSV) wall-clock; our side warms the jit cache on a short clip of the same
+shape first so compile time is excluded, as it would be in steady-state
+production. The reference baseline is cached on disk (it does not change).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(REPO, '.bench_cache')
+W, H, FPS = 1228, 922, 30
+N_FRAMES = 630
+N_WARMUP_FRAMES = 48
+N_BUGS = 200
+SEED = 123
+
+
+def bench_settings(extra=None):
+    from ysmr_tpu.config import default_config_dict, get_configs
+    import configparser
+    import tempfile
+    parser = configparser.ConfigParser(allow_no_value=True)
+    for section, values in default_config_dict().items():
+        parser[section] = {k: str(v) for k, v in values.items()}
+    with tempfile.NamedTemporaryFile('w', suffix='.ini', delete=False) as f:
+        parser.write(f)
+        ini = f.name
+    settings = get_configs(ini)
+    settings.update({
+        'display video analysis': False,
+        'user input': False,
+        'select files': False,
+        'save video': False,
+        'verbose': False,
+        'log to file': False,
+        'rename previous result .csv': False,
+        'collate results csv to xlsx': False,
+    })
+    if extra:
+        settings.update(extra)
+    return settings
+
+
+def make_clip(path, n_frames, seed=SEED):
+    import cv2
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(30, [W - 30, H - 30], (N_BUGS, 2))
+    vel = rng.uniform(-2.0, 2.0, (N_BUGS, 2))
+    vel[:N_BUGS // 3] = 0.0
+    ang = rng.uniform(0, 180, N_BUGS)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), FPS, (W, H))
+    assert writer.isOpened()
+    base_noise = rng.normal(40, 4, (4, H, W)).clip(0, 255).astype(np.uint8)
+    for t in range(n_frames):
+        frame = base_noise[t % 4].copy()
+        for i in range(N_BUGS):
+            p = pos[i] + vel[i] * t
+            cv2.ellipse(frame, (int(round(p[0] % W)), int(round(p[1] % H))),
+                        (4, 2), float(ang[i] + 2 * t * (i % 3)), 0, 360, 200, -1)
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
+    writer.release()
+    return path
+
+
+def measure_reference(clip, result_folder):
+    """Wall-clock fps of the reference track_bacteria on the clip."""
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    from ysmr.track_eval import track_bacteria as ref_track
+    settings = bench_settings()
+    t0 = time.perf_counter()
+    res = ref_track(clip, settings=settings, result_folder=result_folder)
+    elapsed = time.perf_counter() - t0
+    assert res is not None, 'reference run failed'
+    return N_FRAMES / elapsed
+
+
+def measure_ours(clip, warmup_clip, result_folder):
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    warm = bench_settings({'minimal frame count': 16})
+    res = track_bacteria(warmup_clip, settings=warm, result_folder=result_folder)
+    assert res is not None, 'warmup run failed'
+    settings = bench_settings()
+    t0 = time.perf_counter()
+    res = track_bacteria(clip, settings=settings, result_folder=result_folder)
+    elapsed = time.perf_counter() - t0
+    assert res is not None, 'benchmark run failed'
+    return N_FRAMES / elapsed
+
+
+def main():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    clip = os.path.join(CACHE_DIR, 'bench_clip.avi')
+    warmup_clip = os.path.join(CACHE_DIR, 'warmup_clip.avi')
+    if not os.path.isfile(clip):
+        make_clip(clip, N_FRAMES)
+    if not os.path.isfile(warmup_clip):
+        make_clip(warmup_clip, N_WARMUP_FRAMES, seed=SEED + 1)
+
+    baseline_file = os.path.join(CACHE_DIR, 'reference_baseline.json')
+    ref_fps = None
+    if os.path.isfile(baseline_file):
+        try:
+            ref_fps = json.load(open(baseline_file))['reference_fps']
+        except Exception:
+            ref_fps = None
+    if ref_fps is None and os.path.isdir('/root/reference'):
+        result_folder = os.path.join(CACHE_DIR, 'ref_results')
+        os.makedirs(result_folder, exist_ok=True)
+        try:
+            ref_fps = measure_reference(clip, result_folder)
+            json.dump({'reference_fps': ref_fps}, open(baseline_file, 'w'))
+        except Exception as exc:  # baseline unavailable; still report ours
+            print('reference baseline failed: {}'.format(exc), file=sys.stderr)
+            ref_fps = None
+
+    result_folder = os.path.join(CACHE_DIR, 'our_results')
+    os.makedirs(result_folder, exist_ok=True)
+    ours_fps = measure_ours(clip, warmup_clip, result_folder)
+
+    vs_baseline = (ours_fps / ref_fps) if ref_fps else None
+    print(json.dumps({
+        'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
+        'value': round(ours_fps, 2),
+        'unit': 'frames/s',
+        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

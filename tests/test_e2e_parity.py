@@ -1,0 +1,177 @@
+"""End-to-end parity: synthetic video through our TPU pipeline and through the
+reference implementation; track counts must match exactly, statistics within
+tolerance (BASELINE.md build target)."""
+
+import os
+import sys
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+REFERENCE_PATH = '/root/reference'
+
+
+def _make_settings(tmp_path, **overrides):
+    from ysmr_tpu.config import create_configs, get_configs
+    ini = str(tmp_path / 'tracking.ini')
+    create_configs(ini, open_editor=False)
+    settings = get_configs(ini)
+    settings.update({
+        'display video analysis': False,
+        'user input': False,
+        'select files': False,
+        'save video': False,
+        'verbose': False,
+        'log to file': False,
+        'minimal frame count': 30,
+        'minimal length in seconds': 2.0,
+        'limit track length to x seconds': 3.0,
+        'save large plots': False,
+        'save rose plot': False,
+        'save time violin plot': False,
+        'save acr violin plot': False,
+        'save length violin plot': False,
+        'save turning point violin plot': False,
+        'save speed violin plot': False,
+        'save displacement violin plot': False,
+        'save percent motile plot': False,
+        'save angle distribution plot / bins': 0,
+        'collate results csv to xlsx': False,
+        'frame batch size': 8,
+        'max detections per frame': 64,
+        'max track slots': 256,
+    })
+    settings.update(overrides)
+    return settings
+
+
+def make_synthetic_video(path, n_frames=120, w=320, h=240, fps=30, seed=7,
+                         n_bugs=10):
+    """Bacteria-like bright rods drifting over a noisy dark background."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(30, [w - 30, h - 30], (n_bugs, 2))
+    vel = rng.uniform(-1.5, 1.5, (n_bugs, 2))
+    vel[:3] = 0.0  # a few immotile bugs
+    ang = rng.uniform(0, 180, n_bugs)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), fps, (w, h))
+    assert writer.isOpened()
+    for t in range(n_frames):
+        frame = rng.normal(40, 4, (h, w)).clip(0, 255).astype(np.uint8)
+        for i in range(n_bugs):
+            p = pos[i] + vel[i] * t
+            p[0] = p[0] % w
+            p[1] = p[1] % h
+            cv2.ellipse(frame, (int(round(p[0])), int(round(p[1]))),
+                        (4, 2), float(ang[i] + 3 * t * (i % 2)), 0, 360, 200, -1)
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
+    writer.release()
+    return path
+
+
+def _run_reference_pipeline(video, settings, result_folder):
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import ysmr.track_eval as ref_te
+        from ysmr.track_eval import evaluate_tracks as ref_eval
+        from ysmr.track_eval import select_tracks as ref_select
+        from ysmr.track_eval import track_bacteria as ref_track
+    except Exception:
+        pytest.skip('reference implementation not available')
+    # the reference's violin_plot targets a removed matplotlib style
+    # ('seaborn-whitegrid') and crashes on modern matplotlib; the plots are
+    # not part of the numeric comparison
+    ref_te.violin_plot = lambda **kwargs: None
+    res = ref_track(video, settings=dict(settings), result_folder=result_folder)
+    assert res is not None, 'reference track_bacteria failed'
+    df, fps, f_h, f_w, csv = res
+    sel = ref_select(path_to_file=csv, df=df, results_directory=result_folder,
+                     fps=fps, frame_height=f_h, frame_width=f_w,
+                     settings=dict(settings))
+    assert sel is not None
+    out = ref_eval(path_to_file=csv, results_directory=result_folder, df=sel,
+                   settings=dict(settings), fps=fps)
+    assert out is not None
+    return {'list': df, 'selected': sel, 'analysed': out[0], 'stats': out[1]}
+
+
+def _run_our_pipeline(video, settings, result_folder):
+    from ysmr_tpu.pipeline.evaluate import evaluate_tracks
+    from ysmr_tpu.pipeline.select import select_tracks
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    res = track_bacteria(video, settings=dict(settings), result_folder=result_folder)
+    assert res is not None, 'track_bacteria failed'
+    df, fps, f_h, f_w, csv = res
+    sel = select_tracks(path_to_file=csv, df=df, results_directory=result_folder,
+                        fps=fps, frame_height=f_h, frame_width=f_w,
+                        settings=dict(settings))
+    assert sel is not None
+    out = evaluate_tracks(path_to_file=csv, results_directory=result_folder,
+                          df=sel, settings=dict(settings), fps=fps)
+    assert out is not None
+    return {'list': df, 'selected': sel, 'analysed': out[0], 'stats': out[1]}
+
+
+def _compare(ours, ref):
+    # --- raw tracker output: identical structure ---
+    ldf_o, ldf_r = ours['list'], ref['list']
+    assert ldf_o.shape[0] == ldf_r.shape[0], 'raw row count differs'
+    assert ldf_o['TRACK_ID'].tolist() == ldf_r['TRACK_ID'].tolist()
+    assert ldf_o['POSITION_T'].tolist() == ldf_r['POSITION_T'].tolist()
+    np.testing.assert_allclose(ldf_o['POSITION_X'], ldf_r['POSITION_X'], atol=0.08)
+    np.testing.assert_allclose(ldf_o['POSITION_Y'], ldf_r['POSITION_Y'], atol=0.08)
+    # w*h (area) parity; w/h individually may differ on equal-area rect ties
+    np.testing.assert_allclose(ldf_o['WIDTH'] * ldf_o['HEIGHT'],
+                               ldf_r['WIDTH'] * ldf_r['HEIGHT'],
+                               atol=0.08, rtol=0.01)
+    # --- selection: identical selected track ids ---
+    sel_ids_o = sorted(set(ours['selected']['TRACK_ID'].tolist()))
+    sel_ids_r = sorted(set(ref['selected']['TRACK_ID'].tolist()))
+    assert sel_ids_o == sel_ids_r, 'selected track ids differ'
+    assert ours['selected'].shape[0] == ref['selected'].shape[0]
+    # --- statistics within tolerance ---
+    st_o, st_r = ours['stats'], ref['stats']
+    assert st_o.shape[0] == st_r.shape[0]
+    assert st_o['TRACK_ID'].tolist() == st_r['TRACK_ID'].tolist()
+    assert st_o['Motility Phenotype'].tolist() == st_r['Motility Phenotype'].tolist()
+    for col in ['Distance (µm)', 'Speed (µm/s)', 'Time (s)', 'Displacement (µm)',
+                'Perc. Motile', 'Arc-Chord Ratio', 'Turn Points (TP/s)',
+                'Median Speed']:
+        np.testing.assert_allclose(
+            st_o[col].to_numpy(dtype=float), st_r[col].to_numpy(dtype=float),
+            atol=5e-2, rtol=5e-3, err_msg=col)
+    # bacteria length is float16-quantised in both; a coarser tolerance
+    np.testing.assert_allclose(
+        st_o['Bacteria Length'].to_numpy(dtype=float),
+        st_r['Bacteria Length'].to_numpy(dtype=float), atol=5e-2, rtol=2e-2)
+
+
+@pytest.mark.e2e
+def test_e2e_parity_adaptive_double(tmp_path):
+    """Default mode: adaptive double threshold + GSFF (BASELINE config 2)."""
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'))
+    settings = _make_settings(tmp_path)
+    ref_dir = str(tmp_path / 'ref_results')
+    our_dir = str(tmp_path / 'our_results')
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+    ref = _run_reference_pipeline(video, settings, ref_dir)
+    ours = _run_our_pipeline(video, settings, our_dir)
+    _compare(ours, ref)
+
+
+@pytest.mark.e2e
+def test_e2e_parity_mean_threshold_no_gsff(tmp_path):
+    """Mean-threshold mode without GSFF (BASELINE config 1 analogue)."""
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), seed=11)
+    settings = _make_settings(tmp_path, **{'adaptive double threshold': -1.0,
+                                           'disable gsff': True})
+    ref_dir = str(tmp_path / 'ref_results')
+    our_dir = str(tmp_path / 'our_results')
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+    ref = _run_reference_pipeline(video, settings, ref_dir)
+    ours = _run_our_pipeline(video, settings, our_dir)
+    _compare(ours, ref)

@@ -86,7 +86,9 @@ def _detect_components(mask, max_det=64, max_bh=32):
     labels = lb.label_components(mask, connectivity=8)
     comp, n = lb.compact_labels(labels, mask, max_det=max_det)
     tables = lb.component_tables(comp, mask, max_det=max_det, max_bh=max_bh)
-    rect = lb.min_area_rect(tables['points'], tables['points_valid'])
+    rect = lb.min_area_rect(tables['points'], tables['points_valid'],
+                            edge_angles=tables['edge_angles'],
+                            edge_valid=tables['edge_valid'])
     return {k: np.asarray(v) for k, v in tables.items() if k != 'points'}, \
         {k: np.asarray(v) for k, v in rect.items()}, int(n)
 

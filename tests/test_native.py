@@ -1,0 +1,59 @@
+"""Native C++ component tests (skipped when the library is not built)."""
+
+import numpy as np
+import pytest
+
+from ysmr_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason='native library not built')
+
+
+def test_format_rows_matches_python_repr():
+    tid = np.array([0, 3, 123456], np.int64)
+    frm = np.array([7, 8, 9], np.int64)
+    x = np.array([1.5, 320.829158285524, 2.0])
+    y = np.array([-0.25, 1e-7, 922.0])
+    w = np.array([4.0, 2.5, 0.1])
+    h = np.array([2.0, 5.0, 0.30000000000000004])
+    deg = np.array([0.0, 45.5, 89.99999])
+    text = native.format_rows(tid, frm, x, y, w, h, deg)
+    lines = text.strip().split('\n')
+    assert len(lines) == 3
+    for i, line in enumerate(lines):
+        cells = line.split(',')
+        assert cells[0] == str(tid[i])
+        assert cells[1] == str(frm[i])
+        for j, arr in enumerate([x, y, w, h, deg]):
+            assert cells[2 + j] == repr(float(arr[i])), (line, arr[i])
+            assert float(cells[2 + j]) == arr[i]  # round-trip exact
+
+
+def test_format_rows_with_illumination():
+    n = 5
+    rng = np.random.default_rng(0)
+    args = [np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)] + \
+        [rng.uniform(0, 100, n) for _ in range(6)]
+    text = native.format_rows(*args[:7], illumination=args[7])
+    lines = text.strip().split('\n')
+    assert all(len(line.split(',')) == 8 for line in lines)
+
+
+def test_min_area_rect_batch_vs_cv2():
+    import cv2
+    rng = np.random.default_rng(1)
+    d, p = 8, 32
+    pts = np.zeros((d, p, 2), np.float32)
+    valid = np.zeros((d, p), bool)
+    for i in range(d):
+        n = int(rng.integers(3, p))
+        pts[i, :n] = rng.integers(0, 50, (n, 2))
+        valid[i, :n] = True
+    out = native.min_area_rect_batch(pts, valid)
+    for i in range(d):
+        ref = cv2.minAreaRect(pts[i][valid[i]].astype(np.int32))
+        (rx, ry), (rw, rh), _ = ref
+        assert np.hypot(out[i, 0] - rx, out[i, 1] - ry) < 1e-3
+        assert sorted([out[i, 2], out[i, 3]]) == pytest.approx(
+            sorted([rw, rh]), abs=1e-3)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""ctypes bindings for the native C++ runtime components (native/).
+
+Loads ``libysmr_native.so`` if built (``make -C native``); every entry point
+has a pure-Python fallback so the framework runs without the native library.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        'native', 'libysmr_native.so')
+    if not os.path.isfile(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.format_rows.restype = ctypes.c_int64
+        lib.format_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_char_p]
+        lib.min_area_rect_batch.restype = None
+        lib.min_area_rect_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def format_rows(track_id, frame, x, y, w, h, deg, illumination=None):
+    """CSV text for packed result columns; None if the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(track_id)
+    tid = np.ascontiguousarray(track_id, dtype=np.int64)
+    frm = np.ascontiguousarray(frame, dtype=np.int64)
+    cols = [np.ascontiguousarray(c, dtype=np.float64) for c in (x, y, w, h, deg)]
+    lum = None
+    lum_ptr = None
+    if illumination is not None:
+        lum = np.ascontiguousarray(illumination, dtype=np.float64)
+        lum_ptr = lum.ctypes.data_as(ctypes.c_void_p)
+    buf = ctypes.create_string_buffer(n * 160)
+    written = lib.format_rows(
+        tid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        frm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _dp(cols[0]), _dp(cols[1]), _dp(cols[2]), _dp(cols[3]), _dp(cols[4]),
+        lum_ptr, n, buf)
+    return buf.raw[:written].decode('ascii')
+
+
+def min_area_rect_batch(pts_xy, valid):
+    """Exact hull+calipers rects for packed candidate points.
+
+    :param pts_xy: (D, P, 2) float32; valid (D, P) bool/uint8
+    :return: (D, 5) float32 [cx, cy, w, h, angle_deg], or None if unavailable
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts_xy, dtype=np.float32)
+    v = np.ascontiguousarray(valid, dtype=np.uint8)
+    d, p = v.shape
+    out = np.zeros((d, 5), dtype=np.float32)
+    lib.min_area_rect_batch(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        d, p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

@@ -85,7 +85,11 @@ def label_components(mask, connectivity=8, max_iters=64):
         _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+    # the initial 'changed' flag must derive from data (not be a constant) so
+    # the carry keeps a consistent varying-axes type under shard_map
+    any_fg = jnp.any(mask)
+    changed0 = any_fg | jnp.logical_not(any_fg)  # data-dependent True
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, changed0, jnp.int32(0)))
     return lab
 
 
@@ -191,11 +195,25 @@ def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
     pts = jnp.stack([pts_x, pts_y], axis=-1)  # (max_det, 2*max_bh, 2)
     pts_valid = jnp.concatenate([row_valid, row_valid], axis=1)
 
+    # hull-edge candidate angles: directions of consecutive row-extreme steps
+    # on the left and right chains (every bbox row of a connected component is
+    # occupied, so consecutive rows are valid wherever both are in the bbox).
+    # cv2's rotating calipers returns a hull-edge-aligned rectangle; on
+    # equal-area ties these directions are the representatives it picks.
+    left_dx = (row_min_x[:, 1:] - row_min_x[:, :-1]).astype(jnp.float32)
+    right_dx = (row_max_x[:, 1:] - row_max_x[:, :-1]).astype(jnp.float32)
+    pair_valid = row_valid[:, 1:] & row_valid[:, :-1]
+    edge_angles = jnp.concatenate([
+        jnp.arctan2(1.0, left_dx), jnp.arctan2(1.0, right_dx)], axis=1)
+    edge_angles = jnp.mod(edge_angles, jnp.float32(np.pi / 2))
+    edge_valid = jnp.concatenate([pair_valid, pair_valid], axis=1)
+
     out = {
         'count': count[:max_det],
         'min_x': min_x[:max_det], 'max_x': max_x[:max_det],
         'min_y': min_y[:max_det], 'max_y': max_y[:max_det],
         'points': pts, 'points_valid': pts_valid,
+        'edge_angles': edge_angles, 'edge_valid': edge_valid,
     }
     if gray is not None:
         lum = jnp.where(ones > 0, gray.reshape(-1), 0)
@@ -226,7 +244,8 @@ def _sweep_extents(pts, valid, angles):
 
 
 @partial(jax.jit, static_argnames=('coarse_k', 'fine_k'))
-def min_area_rect(pts, valid, coarse_k=96, fine_k=17):
+def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
+                  coarse_k=96, fine_k=17):
     """Minimum-area enclosing rectangle via coarse-to-fine angle sweep.
 
     Semantics of cv2.minAreaRect on the component's pixel-centre point set
@@ -251,12 +270,8 @@ def min_area_rect(pts, valid, coarse_k=96, fine_k=17):
     area = (max_u - min_u) * (max_v - min_v)
     best = jnp.argmin(area, axis=1)  # (D,)
     best_angle = coarse[best]
-    # fine sweep around the best coarse angle; grid is centred so the coarse
-    # optimum itself is always re-evaluated (fine can never be worse)
     step = half_pi / coarse_k
     half = (fine_k - 1) // 2
-    offs = (jnp.arange(fine_k, dtype=jnp.float32) - half) * (step / max(half, 1))
-    fine = best_angle[:, None] + offs[None, :]  # (D, K2)
 
     def fine_extents(p, vmask, ang):
         cos = jnp.cos(ang)[:, :, None]  # (D, K2, 1)
@@ -272,13 +287,49 @@ def min_area_rect(pts, valid, coarse_k=96, fine_k=17):
                 jnp.min(jnp.where(vm, pv, big), axis=-1),
                 jnp.max(jnp.where(vm, pv, -big), axis=-1))
 
-    fmin_u, fmax_u, fmin_v, fmax_v = fine_extents(pts, valid, fine)
-    farea = (fmax_u - fmin_u) * (fmax_v - fmin_v)
-    fbest = jnp.argmin(farea, axis=1)
+    # iterative zoom: each stage re-centres a (fine_k)-point grid on the
+    # current optimum and shrinks the span by (fine_k-1)/2; the grid always
+    # contains the previous optimum so area never regresses
     rows = jnp.arange(d)
-    ang = fine[rows, fbest]
+    ang = best_angle
+    cur_step = step
+    for _ in range(3):
+        offs = (jnp.arange(fine_k, dtype=jnp.float32) - half) * \
+            (cur_step / max(half, 1))
+        fine = ang[:, None] + offs[None, :]  # (D, K2)
+        fmin_u, fmax_u, fmin_v, fmax_v = fine_extents(pts, valid, fine)
+        farea = (fmax_u - fmin_u) * (fmax_v - fmin_v)
+        fbest = jnp.argmin(farea, axis=1)
+        ang = fine[rows, fbest]
+        cur_step = cur_step / max(half, 1)
     mu0, mu1 = fmin_u[rows, fbest], fmax_u[rows, fbest]
     mv0, mv1 = fmin_v[rows, fbest], fmax_v[rows, fbest]
+
+    if edge_angles is not None:
+        # evaluate hull-edge candidate angles and prefer them whenever they
+        # tie (or beat) the sweep optimum — cv2's calipers always returns a
+        # hull-edge-aligned rectangle. Among tying edges the calipers visits
+        # edge angles in increasing order starting just above 0 and keeps the
+        # first minimum (strict <), so a 0-degree edge — reached only after
+        # the full 90-degree rotation — loses ties: rank ties by angle with
+        # 0 mapped to 90 (verified against cv2 in tests).
+        big = jnp.float32(3.0e38)
+        ea = jnp.where(edge_valid, edge_angles, 0.0)
+        emin_u, emax_u, emin_v, emax_v = fine_extents(pts, valid, ea)
+        earea = (emax_u - emin_u) * (emax_v - emin_v)
+        earea = jnp.where(edge_valid, earea, big)
+        e_area_min = jnp.min(earea, axis=1, keepdims=True)
+        tie = earea <= e_area_min * (1 + 1e-5) + 1e-5
+        order_key = jnp.where(ea <= 1e-9, jnp.float32(np.pi / 2), ea)
+        ebest = jnp.argmin(jnp.where(tie, order_key, big), axis=1)
+        e_area_best = earea[rows, ebest]
+        f_area_best = farea[rows, fbest]
+        take_edge = e_area_best <= f_area_best * (1 + 1e-5) + 1e-5
+        ang = jnp.where(take_edge, ea[rows, ebest], ang)
+        mu0 = jnp.where(take_edge, emin_u[rows, ebest], mu0)
+        mu1 = jnp.where(take_edge, emax_u[rows, ebest], mu1)
+        mv0 = jnp.where(take_edge, emin_v[rows, ebest], mv0)
+        mv1 = jnp.where(take_edge, emax_v[rows, ebest], mv1)
     w_side = mu1 - mu0
     h_side = mv1 - mv0
     cu = (mu0 + mu1) * 0.5

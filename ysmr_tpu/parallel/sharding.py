@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Device-mesh parallelism for the tracking pipeline.
+
+The reference's only parallelism is a process pool with one worker per video
+(main.py:281-313). The TPU-native equivalents (SURVEY.md section 2.2):
+
+* **Video-batch data parallelism** — a batch of videos sharded over the
+  ``videos`` mesh axis with ``shard_map``; each device runs the full fused
+  detect + tracker scan on its own videos. Per-video independence means no
+  collectives on the hot path; results gather at the end of a batch.
+* **Dense-scene assignment sharding** — for scenes whose R x C distance
+  matrix dwarfs one chip (BASELINE config 5: 10k+ objects), rows of the
+  matrix are sharded over the mesh: each device computes the distance block
+  for its row shard and reduces it to per-row (min, argmin); those O(R)
+  vectors are all-gathered (riding ICI) and the greedy winner resolution —
+  O(R + C) — runs replicated. The O(R*C*K) compute and memory are fully
+  sharded; only O(R) crosses the interconnect.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ysmr_tpu.ops import assignment as asg
+
+
+def make_mesh(n_devices=None, axis='videos'):
+    """A 1-D device mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_videos(mesh, frames):
+    """Place a (V, ...) video-major array sharded over the videos axis."""
+    spec = P('videos', *([None] * (frames.ndim - 1)))
+    return jax.device_put(frames, NamedSharding(mesh, spec))
+
+
+def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
+                             tracker_state, tracker_kwargs):
+    """Run detect + tracker scan per video, videos sharded over the mesh.
+
+    :param frames: (V, T, H, W, 3) uint8, V divisible by mesh size
+    :param tracker_state: per-video tracker state pytree with leading dim V
+    :return: (new_tracker_state, emissions) — all (V, ...) sharded
+    """
+    from ysmr_tpu.ops import preprocess as pp
+    from ysmr_tpu.pipeline import detect as det
+    from ysmr_tpu.pipeline import tracker as trk
+
+    def per_video(video_frames, video_valid, state):
+        gray = pp.bgr_to_gray(video_frames)
+        blurred = pp.blur3(gray)
+        thresholds = jnp.zeros((video_frames.shape[0],), jnp.int32)
+        tables = det.detect_from_blurred(gray, blurred, video_valid, thresholds,
+                                         **detect_kwargs)
+        new_state, emissions = trk.run_tracker_scan(
+            state, tables['det_xy'], tables['det_info'], tables['det_valid'],
+            **tracker_kwargs)
+        return new_state, emissions
+
+    def sharded(video_frames, video_valid, state):
+        # each device owns V/n videos; vmap over its local shard
+        return jax.vmap(per_video)(video_frames, video_valid, state)
+
+    vspec = P('videos')
+    fn = shard_map(sharded, mesh=mesh,
+                   in_specs=(vspec, vspec, vspec),
+                   out_specs=(vspec, vspec))
+    return fn(frames, frame_valid, tracker_state)
+
+
+def sharded_greedy_assign(mesh, obj_xy, obj_valid, det_xy, det_valid):
+    """Reference-exact greedy assignment with the distance matrix row-sharded.
+
+    Equivalent to ``ops.assignment.greedy_assign`` on the full matrix
+    (tests verify against the single-device path) but computes the R x C
+    distances in row shards across the mesh.
+
+    :param obj_xy: (R, K) float32, R divisible by mesh size
+    :param det_xy: (C, K) float32, replicated
+    :return: same contract as greedy_assign
+    """
+    r = obj_xy.shape[0]
+    c = det_xy.shape[0]
+
+    def local2(obj_xy_l, obj_valid_l, det_xy_r, det_valid_r):
+        d = asg.pairwise_distances(obj_xy_l, obj_valid_l, det_xy_r, det_valid_r)
+        row_min = jnp.min(d, axis=1)
+        cand_col = jnp.argmin(d, axis=1).astype(jnp.int32)
+        return row_min, cand_col
+
+    fn = shard_map(local2, mesh=mesh,
+                   in_specs=(P('videos'), P('videos'), P(), P()),
+                   out_specs=(P('videos'), P('videos')))
+    row_min, cand_col = fn(obj_xy, obj_valid, det_xy, det_valid)
+    # winner resolution on the gathered O(R) vectors (replicated, cheap)
+    row_min = jnp.where(obj_valid, row_min, asg.BIG)
+    order = jnp.argsort(row_min, stable=True)
+    rank = jnp.zeros((r,), dtype=jnp.int32).at[order].set(
+        jnp.arange(r, dtype=jnp.int32))
+    claim_ok = obj_valid & det_valid[cand_col]
+    seg = jnp.where(claim_ok, cand_col, c)
+    winner_rank = jax.ops.segment_min(jnp.where(claim_ok, rank, r), seg,
+                                      num_segments=c + 1)
+    matched = claim_ok & (rank == winner_rank[cand_col])
+    row_to_col = jnp.where(matched, cand_col, -1)
+    col_matched = jax.ops.segment_max(
+        matched.astype(jnp.int32), seg, num_segments=c + 1)[:c] > 0
+    return {'row_to_col': row_to_col, 'col_matched': col_matched}

@@ -82,7 +82,9 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
         comp, n = lb.compact_labels(labels, m, max_det=max_det)
         tables = lb.component_tables(comp, m, gray=g if include_luminosity else None,
                                      max_det=max_det, max_bh=max_bh)
-        rect = lb.min_area_rect(tables['points'], tables['points_valid'])
+        rect = lb.min_area_rect(tables['points'], tables['points_valid'],
+                                edge_angles=tables['edge_angles'],
+                                edge_valid=tables['edge_valid'])
         valid = tables['count'] > 0
         if include_luminosity:
             # Deviation from the reference noted: the reference averages gray
