@@ -51,6 +51,12 @@ def bench_settings(extra=None):
         'log to file': False,
         'rename previous result .csv': False,
         'collate results csv to xlsx': False,
+        # capacity tuning for the benchmark scene (~330 tracks, ~350
+        # detections/frame); these are ordinary [TPU SETTINGS] knobs
+        'max detections per frame': 512,
+        'max track slots': 1024,
+        'max bounding box height': 64,
+        'frame batch size': 64,
     })
     if extra:
         settings.update(extra)

@@ -171,4 +171,50 @@ void min_area_rect_batch(const float* pts_xy, const uint8_t* valid,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Foreground pixel extraction (bandwidth-constrained transfer mode)
+// ---------------------------------------------------------------------------
+
+// Scan a thresholded mask (and optional marker mask) once; emit (x, y) of
+// foreground pixels plus a marker flag. Returns the number of foreground
+// pixels found (may exceed max_out; only max_out entries are written).
+int64_t extract_fg_pixels(const uint8_t* mask, const uint8_t* markers,
+                          int64_t h, int64_t w, int16_t* xs, int16_t* ys,
+                          uint8_t* flags, int64_t max_out) {
+    int64_t count = 0;
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* row = mask + y * w;
+        const uint8_t* mrow = markers ? markers + y * w : nullptr;
+        int64_t x = 0;
+        // fast skip over 8 zero bytes at a time
+        while (x + 8 <= w) {
+            uint64_t v;
+            std::memcpy(&v, row + x, 8);
+            if (v == 0) { x += 8; continue; }
+            for (int64_t k = x; k < x + 8; ++k) {
+                if (row[k]) {
+                    if (count < max_out) {
+                        xs[count] = static_cast<int16_t>(k);
+                        ys[count] = static_cast<int16_t>(y);
+                        flags[count] = mrow ? (mrow[k] ? 1 : 0) : 0;
+                    }
+                    ++count;
+                }
+            }
+            x += 8;
+        }
+        for (; x < w; ++x) {
+            if (row[x]) {
+                if (count < max_out) {
+                    xs[count] = static_cast<int16_t>(x);
+                    ys[count] = static_cast<int16_t>(y);
+                    flags[count] = mrow ? (mrow[x] ? 1 : 0) : 0;
+                }
+                ++count;
+            }
+        }
+    }
+    return count;
+}
+
 }  // extern "C"

@@ -1,0 +1,66 @@
+"""Pixels transfer mode must produce identical detections to the frames path."""
+
+import numpy as np
+import pytest
+
+from ysmr_tpu.io.preproc import HostPreprocessor
+from ysmr_tpu.ops import preprocess as pp
+from ysmr_tpu.pipeline import detect as det
+from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
+
+
+def _settings(mode_val, white=True, lum=False):
+    return {
+        'white bacteria on dark background': white,
+        'threshold offset for detection': 5,
+        'adaptive double threshold': mode_val,
+        'max detections per frame': 64,
+        'connected components max iterations': 64,
+        'include luminosity in tracking calculation': lum,
+        'color filter': __import__('cv2').COLOR_BGR2GRAY,
+        'max track slots': 64,
+        'frames per second': 30.0,
+    }
+
+
+def _blob_frames(rng, t=4, h=96, w=128, n=10):
+    import cv2
+    frames = np.zeros((t, h, w, 3), np.uint8)
+    for k in range(t):
+        img = rng.normal(40, 4, (h, w)).clip(0, 255).astype(np.uint8)
+        for i in range(n):
+            cv2.ellipse(img, (int(rng.integers(8, w - 8)), int(rng.integers(8, h - 8))),
+                        (4, 2), int(rng.integers(0, 180)), 0, 360, 200, -1)
+        frames[k] = img[..., None]
+    return frames
+
+
+@pytest.mark.parametrize('mode_val', [2.0, 0.0, -1.0])
+def test_pixels_equals_frames(rng, mode_val):
+    settings = _settings(mode_val)
+    frames = _blob_frames(rng)
+    t, h, w, _ = frames.shape
+    config = det.DetectorConfig(settings, 30.0)
+    frame_valid = np.ones(t, bool)
+    ts = pp.MovingAverageThreshold(30.0, config.offset, config.white_on_dark) \
+        if config.mode == 'mean' else None
+    ref = det.detect_batch(frames, frame_valid, config, threshold_state=ts)
+
+    prep = HostPreprocessor(settings, 30.0, max_fg=4096)
+    batches = [prep(f) for f in frames]
+    px_x = np.stack([b['px_x'] for b in batches]).astype(np.int32)
+    px_y = np.stack([b['px_y'] for b in batches]).astype(np.int32)
+    flags = np.stack([b['px_marker'] for b in batches]) > 0
+    counts = np.array([b['count'] for b in batches])
+    px_valid = np.arange(4096)[None, :] < counts[:, None]
+    got = detect_from_pixels(px_x, px_y, px_valid, flags, frame_valid,
+                             h=h, w=w, double_threshold=(config.mode == 'adaptive_double'),
+                             max_det=config.max_det, max_bh=config.max_bh,
+                             cc_iters=config.cc_iters)
+    assert np.array_equal(np.asarray(got['det_valid']), np.asarray(ref['det_valid']))
+    np.testing.assert_allclose(np.asarray(got['det_xy']), np.asarray(ref['det_xy']),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got['det_info']), np.asarray(ref['det_info']),
+                               atol=1e-3)
+    assert np.array_equal(np.asarray(got['n_components']),
+                          np.asarray(ref['n_components']))

@@ -10,6 +10,14 @@ Public API mirrors the reference package (ysmr/__init__.py): ``ysmr``,
 ``analyse``, the pipeline stages, and the plot functions.
 """
 
+import os as _os
+
+# persistent XLA compilation cache: first compiles of the detection/tracking
+# programs are expensive (tens of seconds on TPU); cache them across runs
+_os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                       _os.path.expanduser('~/.cache/ysmr_tpu_jax'))
+_os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
 from ysmr_tpu.__version__ import VERSION, __version__  # noqa: F401
 
 try:  # full pipeline (requires jax); config/util layers import without it

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Host-side threshold preprocessing for the bandwidth-adaptive pixels mode.
+
+Runs inside the decode thread: grayscale -> 3x3 blur -> threshold (all via
+OpenCV calls that are bit-exact with the device kernels in ops/preprocess.py
+— both sides are verified against each other and against cv2 in tests) ->
+single-pass foreground extraction (native C++ when built, numpy fallback).
+
+The output per frame is a fixed-capacity pixel table: x/y int16, marker flag,
+optional grayscale value (luminosity mode) — a few bytes per foreground pixel
+instead of a megabyte per frame over the host-device link.
+"""
+
+import logging
+
+import cv2
+import numpy as np
+
+from ysmr_tpu import native
+from ysmr_tpu.ops.preprocess import MovingAverageThreshold
+
+
+class HostPreprocessor:
+    """Per-frame host preprocessing state (threshold mode + moving average)."""
+
+    def __init__(self, settings, fps, max_fg=16384):
+        from ysmr_tpu.ops.preprocess import (detect_mode_from_settings,
+                                             effective_threshold_offset)
+        self.logger = logging.getLogger('ysmr').getChild(__name__)
+        self.mode = detect_mode_from_settings(settings)
+        self.white_on_dark = settings['white bacteria on dark background']
+        self.offset = effective_threshold_offset(settings)
+        self.double_delta = settings['adaptive double threshold']
+        self.include_luminosity = settings['include luminosity in tracking calculation']
+        self.color_filter = settings['color filter']
+        self.max_fg = max_fg
+        self.threshold_type = cv2.THRESH_BINARY if self.white_on_dark \
+            else cv2.THRESH_BINARY_INV
+        self.threshold_state = MovingAverageThreshold(
+            fps, self.offset, self.white_on_dark) if self.mode == 'mean' else None
+        self.overflowed = 0
+
+    def __call__(self, frame_bgr):
+        """frame -> dict of px_x, px_y, px_marker, px_gray, count."""
+        if frame_bgr.ndim == 3:
+            gray = cv2.cvtColor(frame_bgr, self.color_filter)
+        else:
+            gray = frame_bgr
+        blurred = cv2.GaussianBlur(gray, (3, 3), 0)
+        markers = None
+        if self.mode == 'mean':
+            mean, std = cv2.meanStdDev(gray)
+            thr = self.threshold_state.update(mean.item(), std.item())
+            mask = cv2.threshold(blurred, thr, 255, self.threshold_type)[1]
+        else:
+            mask = cv2.adaptiveThreshold(
+                blurred, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                self.threshold_type, 11, -float(self.offset))
+            if self.mode == 'adaptive_double':
+                markers = cv2.adaptiveThreshold(
+                    blurred, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                    self.threshold_type, 11,
+                    -float(self.offset + self.double_delta))
+        xs = np.empty(self.max_fg, np.int16)
+        ys = np.empty(self.max_fg, np.int16)
+        flags = np.zeros(self.max_fg, np.uint8)
+        count = native.extract_fg_pixels(np.ascontiguousarray(mask),
+                                         markers if markers is None else
+                                         np.ascontiguousarray(markers),
+                                         xs, ys, flags)
+        if count is None:  # numpy fallback
+            yy, xx = np.nonzero(mask)
+            count = len(yy)
+            m = min(count, self.max_fg)
+            xs[:m] = xx[:m]
+            ys[:m] = yy[:m]
+            if markers is not None:
+                flags[:m] = markers[yy[:m], xx[:m]] > 0
+        if count > self.max_fg:
+            self.overflowed += 1
+            count = self.max_fg
+        out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
+        if self.include_luminosity:
+            g = np.zeros(self.max_fg, gray.dtype)
+            g[:count] = gray[ys[:count], xs[:count]]
+            out['px_gray'] = g.astype(np.int16)
+        return out

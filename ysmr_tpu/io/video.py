@@ -33,12 +33,14 @@ class BatchedVideoReader:
     device step sees identical shapes (no recompilation).
     """
 
-    def __init__(self, video_path, batch_size=16, prefetch=3, color_filter=None):
+    def __init__(self, video_path, batch_size=16, prefetch=3, color_filter=None,
+                 preprocess=None):
         self.logger = logging.getLogger('ysmr').getChild(__name__)
         self.path = video_path
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.color_filter = color_filter
+        self.preprocess = preprocess
         cap = cv2.VideoCapture(video_path)
         if not cap.isOpened():
             raise VideoReadError('Cannot open file {}'.format(video_path))
@@ -53,6 +55,29 @@ class BatchedVideoReader:
         self.error_during_read = False
         self.read_stopped_early = False
 
+    def _stack_batch(self, batch):
+        if self.preprocess is None:
+            if len(batch) == self.batch_size:
+                return np.stack(batch)
+            arr = np.zeros((self.batch_size,) + batch[0].shape, np.uint8)
+            arr[:len(batch)] = np.stack(batch)
+            return arr
+        # preprocessed pixel tables: stack each field, zero-pad short batches
+        keys = batch[0].keys()
+        out = {}
+        for key in keys:
+            if key == 'count':
+                counts = np.zeros(self.batch_size, np.int32)
+                counts[:len(batch)] = [b['count'] for b in batch]
+                out['count'] = counts
+            else:
+                first = batch[0][key]
+                arr = np.zeros((self.batch_size,) + first.shape, first.dtype)
+                for i, b in enumerate(batch):
+                    arr[i] = b[key]
+                out[key] = arr
+        return out
+
     def _decode_loop(self):
         cap = self._cap
         batch = []
@@ -63,23 +88,24 @@ class BatchedVideoReader:
                 ret, frame = cap.read()
                 if not ret:
                     break
-                if self.color_filter is not None and \
+                if self.preprocess is None and self.color_filter is not None and \
                         self.color_filter != cv2.COLOR_BGR2GRAY and frame.ndim == 3:
                     # non-default colour filters convert on host (rare path);
                     # result is re-expanded so the device sees one layout
                     gray = cv2.cvtColor(frame, self.color_filter)
                     if gray.ndim == 2:
                         frame = np.repeat(gray[..., None], 3, axis=2)
-                batch.append(frame)
+                batch.append(frame if self.preprocess is None
+                             else self.preprocess(frame))
                 idx += 1
                 if len(batch) == self.batch_size:
-                    self._queue.put(('batch', np.stack(batch), start, len(batch)))
+                    self._queue.put(('batch', self._stack_batch(batch),
+                                     start, len(batch)))
                     batch = []
                     start = idx
             if batch:
-                arr = np.zeros((self.batch_size,) + batch[0].shape, np.uint8)
-                arr[:len(batch)] = np.stack(batch)
-                self._queue.put(('batch', arr, start, len(batch)))
+                self._queue.put(('batch', self._stack_batch(batch),
+                                 start, len(batch)))
             self._queue.put(('done', None, idx, 0))
         except Exception as exc:  # surfaced on the consumer side
             self._queue.put(('error', exc, idx, 0))

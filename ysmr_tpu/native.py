@@ -36,6 +36,12 @@ def _load():
         lib.min_area_rect_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+        lib.extract_fg_pixels.restype = ctypes.c_int64
+        lib.extract_fg_pixels.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -71,6 +77,28 @@ def format_rows(track_id, frame, x, y, w, h, deg, illumination=None):
         _dp(cols[0]), _dp(cols[1]), _dp(cols[2]), _dp(cols[3]), _dp(cols[4]),
         lum_ptr, n, buf)
     return buf.raw[:written].decode('ascii')
+
+
+def extract_fg_pixels(mask_u8, markers_u8, xs, ys, flags):
+    """Single-pass foreground pixel extraction into preallocated buffers.
+
+    :param mask_u8: (H, W) uint8 C-contiguous (0 = background)
+    :param markers_u8: optional (H, W) uint8 or None
+    :param xs, ys: (max_out,) int16 output buffers
+    :param flags: (max_out,) uint8 output buffer (marker membership)
+    :return: total fg count (may exceed buffer size), or None if unavailable
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = mask_u8.shape
+    mptr = markers_u8.ctypes.data_as(ctypes.c_void_p) if markers_u8 is not None \
+        else None
+    return lib.extract_fg_pixels(
+        mask_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), mptr, h, w,
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(xs))
 
 
 def min_area_rect_batch(pts_xy, valid):

@@ -54,9 +54,16 @@ def _neighbor_min(lab, invalid, connectivity):
     return m
 
 
-@partial(jax.jit, static_argnames=('connectivity', 'max_iters'))
-def label_components(mask, connectivity=8, max_iters=64):
+@partial(jax.jit, static_argnames=('connectivity', 'max_iters', 'jump_every'))
+def label_components(mask, connectivity=8, max_iters=64, jump_every=1):
     """Label connected components of a boolean mask.
+
+    Iterative min-label propagation. With ``jump_every=1`` each iteration
+    also applies one pointer-jumping hop (label <- label[label]) for
+    O(log diameter) convergence; with ``jump_every=0`` propagation is
+    stencil-only (cheap shifted-minimum vector work, no full-image gathers —
+    the production choice: bacteria-sized components converge in ~diameter
+    iterations and correctness is preserved up to diameter = max_iters).
 
     :param mask: (H, W) bool
     :param connectivity: 4 or 8 (reference: 8 for contours, 4 for propagation)
@@ -74,10 +81,13 @@ def label_components(mask, connectivity=8, max_iters=64):
         lab, _, it = state
         neigh = _neighbor_min(lab, invalid, connectivity)
         new = jnp.where(mask, jnp.minimum(lab, neigh), invalid)
-        # pointer jumping: follow the candidate-root indirection once
-        flat = new.reshape(-1)
-        hop = flat[jnp.clip(flat, 0, n - 1)]
-        new = jnp.where(mask, jnp.minimum(new, hop.reshape(h, w)), invalid)
+        if jump_every == 1:
+            flat = new.reshape(-1)
+            hop = flat[jnp.clip(flat, 0, n - 1)]
+            new = jnp.where(mask, jnp.minimum(new, hop.reshape(h, w)), invalid)
+        # jump_every == 0: stencil-only propagation. A lax.cond for an
+        # every-k-th-iteration jump is NOT used because under vmap both
+        # branches execute, making the full-image gather run every iteration.
         changed = jnp.any(new != lab)
         return new, changed, it + 1
 
@@ -147,27 +157,20 @@ def propagate_markers(mask, markers, connectivity=4, max_iters=64):
 
 
 @partial(jax.jit, static_argnames=('max_det', 'max_bh'))
-def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
-    """Per-component statistics and convex-hull candidate points.
+def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024, max_bh=96):
+    """Per-component statistics and convex-hull candidates from point lists.
 
-    :param comp_id: (H, W) int32 dense ids (overflow/background = max_det)
-    :param mask: (H, W) bool
-    :param gray: optional (H, W) int32 grayscale for luminosity sums
-    :param max_det: static detection capacity
-    :param max_bh: static max bounding-box height used for the per-row
-        x-extremes table (components taller than this lose hull candidates
-        in the clipped rows; bacteria are far smaller)
-    :return: dict with per-component arrays of shape (max_det, ...):
-        count, min_x/max_x/min_y/max_y, candidate points (max_det, 2*max_bh, 2)
-        float32 with validity mask, and optional lum_sum
+    Shared by the image path (flattened pixel grid) and the compact
+    foreground-table path (pixels mode): all inputs are 1-D arrays over
+    candidate points.
+
+    :param xs, ys: (N,) int32 coordinates
+    :param seg: (N,) int32 dense component ids (invalid/background = max_det)
+    :param active: (N,) bool
+    :param gray_vals: optional (N,) int32 grayscale for luminosity sums
+    :return: dict of per-component arrays as described in component_tables
     """
-    h, w = comp_id.shape
-    seg = comp_id.reshape(-1)
-    ones = mask.reshape(-1).astype(jnp.int32)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
-                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
-    xs = xs.reshape(-1)
-    ys = ys.reshape(-1)
+    ones = active.astype(jnp.int32)
     nseg = max_det + 1
     count = jax.ops.segment_sum(ones, seg, num_segments=nseg)
     big = jnp.int32(1 << 30)
@@ -195,18 +198,13 @@ def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
     pts = jnp.stack([pts_x, pts_y], axis=-1)  # (max_det, 2*max_bh, 2)
     pts_valid = jnp.concatenate([row_valid, row_valid], axis=1)
 
-    # hull-edge candidate angles: directions of consecutive row-extreme steps
-    # on the left and right chains (every bbox row of a connected component is
-    # occupied, so consecutive rows are valid wherever both are in the bbox).
-    # cv2's rotating calipers returns a hull-edge-aligned rectangle; on
-    # equal-area ties these directions are the representatives it picks.
-    left_dx = (row_min_x[:, 1:] - row_min_x[:, :-1]).astype(jnp.float32)
-    right_dx = (row_max_x[:, 1:] - row_max_x[:, :-1]).astype(jnp.float32)
-    pair_valid = row_valid[:, 1:] & row_valid[:, :-1]
-    edge_angles = jnp.concatenate([
-        jnp.arctan2(1.0, left_dx), jnp.arctan2(1.0, right_dx)], axis=1)
-    edge_angles = jnp.mod(edge_angles, jnp.float32(np.pi / 2))
-    edge_valid = jnp.concatenate([pair_valid, pair_valid], axis=1)
+    # exact hull-edge candidate angles: monotone-chain convex envelopes of the
+    # per-row x-extremes give the true hull edges (the row extremes contain
+    # every hull vertex); their directions are the only angles at which the
+    # minimal rectangle can occur, and on equal-area ties they are the
+    # representatives cv2's rotating calipers picks.
+    edge_angles, edge_valid = _hull_edge_angles(row_min_x, row_max_x,
+                                                row_valid, abs_y)
 
     out = {
         'count': count[:max_det],
@@ -215,10 +213,126 @@ def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
         'points': pts, 'points_valid': pts_valid,
         'edge_angles': edge_angles, 'edge_valid': edge_valid,
     }
-    if gray is not None:
-        lum = jnp.where(ones > 0, gray.reshape(-1), 0)
+    if gray_vals is not None:
+        lum = jnp.where(ones > 0, gray_vals, 0)
         out['lum_sum'] = jax.ops.segment_sum(lum, seg, num_segments=nseg)[:max_det]
     return out
+
+
+@partial(jax.jit, static_argnames=('max_det', 'max_bh'))
+def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
+    """Per-component statistics and convex-hull candidate points (image path).
+
+    :param comp_id: (H, W) int32 dense ids (overflow/background = max_det)
+    :param mask: (H, W) bool
+    :param gray: optional (H, W) int32 grayscale for luminosity sums
+    :param max_det: static detection capacity
+    :param max_bh: static max bounding-box height used for the per-row
+        x-extremes table (components taller than this lose hull candidates
+        in the clipped rows; bacteria are far smaller)
+    :return: dict with per-component arrays of shape (max_det, ...):
+        count, min_x/max_x/min_y/max_y, candidate points (max_det, 2*max_bh, 2)
+        float32 with validity mask, hull-edge angles, optional lum_sum
+    """
+    h, w = comp_id.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
+    return component_stats(xs.reshape(-1), ys.reshape(-1), comp_id.reshape(-1),
+                           mask.reshape(-1),
+                           gray_vals=None if gray is None else gray.reshape(-1),
+                           max_det=max_det, max_bh=max_bh)
+
+
+def _chain_hull(xs, ys, valid, lower):
+    """Monotone-chain convex envelope of per-row extreme points, vectorised
+    over components.
+
+    Points are ordered by increasing y with at most one point per row. The
+    left boundary of a component is the lower hull of its (y, x_min) points,
+    the right boundary the upper hull of (y, x_max).
+
+    :param xs, ys: (D, R) float32 point coordinates (garbage where invalid)
+    :param valid: (D, R) bool
+    :return: (hull_x, hull_y, hull_size) with shapes (D, R), (D, R), (D,)
+    """
+    d, r = xs.shape
+    sign = jnp.float32(1.0 if lower else -1.0)
+
+    def cross(ox, oy, ax, ay, bx, by):
+        # orientation in the (y, x) plane: y plays the abscissa role
+        return (ay - oy) * (bx - ox) - (ax - ox) * (by - oy)
+
+    def get(h, idx):
+        return jnp.take_along_axis(h, jnp.maximum(idx, 0)[:, None], axis=1)[:, 0]
+
+    def push_step(i, state):
+        hx, hy, size = state
+        px = xs[:, i]
+        py = ys[:, i]
+        v = valid[:, i]
+
+        def pop_cond(st):
+            hx, hy, size = st
+            ax = get(hx, size - 2)
+            ay = get(hy, size - 2)
+            bx = get(hx, size - 1)
+            by = get(hy, size - 1)
+            c = cross(ax, ay, bx, by, px, py) * sign
+            return jnp.any(v & (size >= 2) & (c <= 0))
+
+        def pop_body(st):
+            hx, hy, size = st
+            ax = get(hx, size - 2)
+            ay = get(hy, size - 2)
+            bx = get(hx, size - 1)
+            by = get(hy, size - 1)
+            c = cross(ax, ay, bx, by, px, py) * sign
+            do_pop = v & (size >= 2) & (c <= 0)
+            return hx, hy, size - do_pop.astype(jnp.int32)
+
+        hx, hy, size = jax.lax.while_loop(pop_cond, pop_body, (hx, hy, size))
+        onehot = (jnp.arange(r, dtype=jnp.int32)[None, :] == size[:, None]) & v[:, None]
+        hx = jnp.where(onehot, px[:, None], hx)
+        hy = jnp.where(onehot, py[:, None], hy)
+        size = size + v.astype(jnp.int32)
+        return hx, hy, size
+
+    hx0 = jnp.zeros((d, r), jnp.float32)
+    hy0 = jnp.zeros((d, r), jnp.float32)
+    size0 = jnp.zeros((d,), jnp.int32)
+    hx, hy, size = jax.lax.fori_loop(0, r, push_step, (hx0, hy0, size0))
+    return hx, hy, size
+
+
+def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y):
+    """Exact hull-edge candidate angles from the row-extreme chains.
+
+    :return: (angles (D, 2*R) float32 in [0, pi/2), valid (D, 2*R) bool); a
+        zero-angle candidate (the horizontal closing edges) is always
+        included via the first slot of each chain's edge list when present.
+    """
+    ys = abs_y.astype(jnp.float32)
+    big = jnp.float32(1 << 30)
+    lx = jnp.where(row_valid, row_min_x.astype(jnp.float32), 0.0)
+    rx = jnp.where(row_valid, row_max_x.astype(jnp.float32), 0.0)
+
+    def chain_angles(xs, lower):
+        hx, hy, size = _chain_hull(xs, ys, row_valid, lower)
+        dx = hx[:, 1:] - hx[:, :-1]
+        dy = hy[:, 1:] - hy[:, :-1]
+        idx = jnp.arange(hx.shape[1] - 1, dtype=jnp.int32)[None, :]
+        valid = idx < (size[:, None] - 1)
+        ang = jnp.mod(jnp.arctan2(dy, dx), jnp.float32(np.pi / 2))
+        # pad slot: reuse the first column as the horizontal closing edge
+        ang = jnp.where(valid, ang, 0.0)
+        valid = valid | (idx == 0)
+        return ang, valid
+
+    la, lv = chain_angles(lx, lower=True)
+    ra, rv = chain_angles(rx, lower=False)
+    del big
+    return (jnp.concatenate([la, ra], axis=1),
+            jnp.concatenate([lv, rv], axis=1))
 
 
 def _sweep_extents(pts, valid, angles):

@@ -27,7 +27,7 @@ class DetectorConfig:
         self.offset = pp.effective_threshold_offset(settings)
         self.double_delta = settings['adaptive double threshold']
         self.max_det = settings['max detections per frame']
-        self.max_bh = 96
+        self.max_bh = settings.get('max bounding box height', 96)
         self.cc_iters = settings['connected components max iterations']
         self.include_luminosity = settings['include luminosity in tracking calculation']
         self.fps = fps

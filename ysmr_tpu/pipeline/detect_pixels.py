@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Detection from compact foreground-pixel tables (bandwidth-adaptive mode).
+
+When the host-to-device link is slow (e.g. a tunnelled TPU at tens of MB/s),
+streaming raw frames caps throughput far below one chip's compute. In
+"pixels" transfer mode the host decode thread runs the threshold recipes
+(bit-exact with the device kernels — both are verified against OpenCV) and
+ships only the foreground pixels (~2-4 bytes/pixel, typically hundreds of KB/s
+instead of ~100 MB/s). The device then rasterizes, labels, reconstructs
+markers, computes rotated extents, and tracks — identical results to the
+frames path (tests/test_detect_pixels.py asserts equality).
+
+All segment reductions run over the compact (T, F) tables instead of the
+(T, H*W) pixel grid, which also removes the large-scatter hot spots of the
+image path.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ysmr_tpu.ops import labeling as lb
+
+
+@partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
+                                   'max_bh', 'cc_iters', 'include_luminosity'))
+def detect_from_pixels(px_x, px_y, px_valid, px_marker, frame_valid, *, h, w,
+                       double_threshold, max_det, max_bh, cc_iters,
+                       include_luminosity=False, px_gray=None):
+    """Detection tables from per-frame foreground pixel lists.
+
+    :param px_x, px_y: (T, F) int32 pixel coordinates (raster order)
+    :param px_valid: (T, F) bool
+    :param px_marker: (T, F) bool — stricter-threshold membership (double mode)
+    :param frame_valid: (T,) bool
+    :param px_gray: optional (T, F) int32 grayscale at the pixels (luminosity)
+    :return: dict with det_xy (T, D, K), det_info (T, D, 3), det_valid (T, D),
+        n_components (T,)
+    """
+    t, f = px_x.shape
+    n = h * w
+    valid = px_valid & frame_valid[:, None]
+    lin = jnp.where(valid, px_y * w + px_x, n)
+
+    t_off = jnp.arange(t, dtype=jnp.int32)[:, None] * (n + 1)
+
+    def rasterize_all(lin_b):
+        """(T, F) linear indices -> (T, H, W) masks via one flat scatter."""
+        flat = jnp.zeros((t * (n + 1),), bool).at[
+            (lin_b + t_off).reshape(-1)].set(True, mode='drop')
+        return flat.reshape(t, n + 1)[:, :n].reshape(t, h, w)
+
+    def gather_all(img_b, lin_b):
+        """(T, H, W) images gathered at (T, F) linear indices, one flat op."""
+        flat = img_b.reshape(-1)
+        idx = jnp.clip(lin_b, 0, n - 1) + jnp.arange(t, dtype=jnp.int32)[:, None] * n
+        return flat[idx.reshape(-1)].reshape(t, f)
+
+    def compact_ids(lab_fg, act, lin_b, reverse):
+        """Dense component ids at the foreground pixels (raster-rank based);
+        batched over frames with flat scatters/gathers."""
+        roots = act & (lab_fg == lin_b)
+        rank = jnp.cumsum(roots.astype(jnp.int32), axis=1) - 1
+        n_comp = jnp.sum(roots.astype(jnp.int32), axis=1)  # (T,)
+        rank_img = jnp.zeros((t * (n + 1),), jnp.int32).at[
+            (jnp.where(roots, lin_b, n) + t_off).reshape(-1)].set(
+                rank.reshape(-1), mode='drop')
+        comp = rank_img[(jnp.clip(lab_fg, 0, n) + t_off).reshape(-1)].reshape(t, f)
+        if reverse:
+            comp = n_comp[:, None] - 1 - comp
+        return jnp.where(act, comp, f), n_comp
+
+    valid_b = valid
+    mask = rasterize_all(lin)
+    if double_threshold:
+        lab4 = jax.vmap(lambda m: lb.label_components(
+            m, connectivity=4, max_iters=cc_iters, jump_every=0))(mask)
+        lab4_fg = gather_all(lab4, lin)
+        comp4, _ = compact_ids(lab4_fg, valid_b, lin, reverse=False)
+        marked = jax.vmap(lambda mk, c: jax.ops.segment_max(
+            mk.astype(jnp.int32), jnp.minimum(c, f), num_segments=f + 1))(
+                px_marker & valid_b, comp4)
+        keep = valid_b & (jnp.take_along_axis(
+            marked, jnp.minimum(comp4, f), axis=1) > 0)
+        lin_kept = jnp.where(keep, lin, n)
+        mask = rasterize_all(lin_kept)
+    else:
+        keep = valid_b
+        lin_kept = lin
+    lab8 = jax.vmap(lambda m: lb.label_components(
+        m, connectivity=8, max_iters=cc_iters, jump_every=0))(mask)
+    lab8_fg = gather_all(lab8, lin_kept)
+    comp, n_components = compact_ids(lab8_fg, keep, lin_kept, reverse=True)
+    seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
+    gray_in = px_gray if px_gray is not None else jnp.zeros_like(px_x)
+
+    def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f):
+        tables = lb.component_stats(
+            px_x_f, px_y_f, seg_f, keep_f,
+            gray_vals=gray_f if include_luminosity else None,
+            max_det=max_det, max_bh=max_bh)
+        rect = lb.min_area_rect(tables['points'], tables['points_valid'],
+                                edge_angles=tables['edge_angles'],
+                                edge_valid=tables['edge_valid'])
+        det_valid = tables['count'] > 0
+        if include_luminosity:
+            lum = tables['lum_sum'].astype(jnp.float32) / \
+                jnp.maximum(tables['count'], 1) / 100.0
+        else:
+            lum = jnp.zeros_like(rect['cx'])
+        return rect, det_valid, lum
+
+    rect, det_valid, lum = jax.vmap(per_frame_stats)(
+        seg, keep, px_x, px_y, gray_in)
+    xy = [rect['cx'], rect['cy']]
+    if include_luminosity:
+        xy.append(lum)
+    det_xy = jnp.stack(xy, axis=-1)
+    det_info = jnp.stack([rect['w'], rect['h'], rect['angle_deg']], axis=-1)
+    det_xy = jnp.where(det_valid[..., None], det_xy, 0.0)
+    det_info = jnp.where(det_valid[..., None], det_info, 0.0)
+    return {'det_xy': det_xy, 'det_info': det_info, 'det_valid': det_valid,
+            'n_components': n_components}

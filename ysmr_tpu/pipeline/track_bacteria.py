@@ -29,6 +29,33 @@ from ysmr_tpu.utils.csv_io import save_list, sort_list
 from ysmr_tpu.utils.files import create_results_folder
 from ysmr_tpu.utils.logging_utils import get_loggers
 
+_H2D_BANDWIDTH = None
+
+
+def probe_h2d_bandwidth():
+    """Measured host->device bandwidth in bytes/s (cached per process)."""
+    global _H2D_BANDWIDTH
+    if _H2D_BANDWIDTH is None:
+        import time
+        import jax
+        import jax.numpy as jnp
+        x = np.zeros(4 * 1024 * 1024, np.uint8)
+        f = jax.jit(lambda a: jnp.sum(a[::65536].astype(jnp.int32)))
+        int(f(x))  # compile + first transfer
+        t0 = time.perf_counter()
+        int(f(x + 1))
+        _H2D_BANDWIDTH = len(x) / max(time.perf_counter() - t0, 1e-6)
+    return _H2D_BANDWIDTH
+
+
+def resolve_transfer_mode(settings, frame_bytes):
+    """'auto' picks pixels mode when streaming frames cannot beat ~60 fps."""
+    mode = settings.get('transfer mode', 'auto')
+    if mode in ('frames', 'pixels'):
+        return mode
+    bandwidth = probe_h2d_bandwidth()
+    return 'pixels' if bandwidth < 60 * frame_bytes else 'frames'
+
 
 def _compact_emissions(emissions, batch_start, frame_offset_valid):
     """(T, S) padded emissions -> column arrays sorted by (frame, id)."""
@@ -78,23 +105,28 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         logger.critical('File %s does not exist', video_path)
         return None
     try:
-        reader = BatchedVideoReader(
-            video_path,
-            batch_size=settings['frame batch size'],
-            prefetch=settings['prefetch batches'],
-            color_filter=settings['color filter'])
+        probe_reader = BatchedVideoReader(video_path, batch_size=1)
     except VideoReadError as err:
         logger.exception('Problem opening file %s: %s', video_path, err)
         return None
+    frame_bytes = probe_reader.width * probe_reader.height * 3
+    transfer_mode = resolve_transfer_mode(settings, frame_bytes)
+    batch_size = settings['frame batch size']
+    if transfer_mode == 'pixels' and batch_size < 64:
+        batch_size = 64  # amortise link latency; pixel tables are small
+    logger.debug('Transfer mode: %s, batch size: %s', transfer_mode, batch_size)
 
-    frame_count = reader.frame_count
+    frame_count = probe_reader.frame_count
+    frame_height, frame_width = probe_reader.height, probe_reader.width
+    file_fps = probe_reader.fps
+    probe_reader._cap.release()
     if frame_count < settings['minimal frame count']:
         logger.warning('File %s too short; file was skipped. Limit for '
                        "'minimal frame count': %s", video_path,
                        settings['minimal frame count'])
         return None
     if not settings['force tracking.ini fps settings']:
-        fps_of_file = reader.fps
+        fps_of_file = file_fps
         if settings['verbose'] or fps_of_file != settings['frames per second']:
             logger.info('fps of file: %s', fps_of_file)
         if not fps_of_file or fps_of_file <= 0:
@@ -115,11 +147,25 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         rename_old_list=settings['rename previous result .csv'],
         illumination=settings['include luminosity in tracking calculation'])
 
-    frame_height, frame_width = reader.height, reader.width
     if settings['verbose']:
         logger.debug('Frame height: %s, width: %s', frame_height, frame_width)
 
     config = det.DetectorConfig(settings, fps_of_file)
+    preprocess = None
+    if transfer_mode == 'pixels':
+        from ysmr_tpu.io.preproc import HostPreprocessor
+        preprocess = HostPreprocessor(
+            settings, fps_of_file,
+            max_fg=settings['max foreground pixels per frame'])
+    try:
+        reader = BatchedVideoReader(
+            video_path, batch_size=batch_size,
+            prefetch=settings['prefetch batches'],
+            color_filter=settings['color filter'],
+            preprocess=preprocess)
+    except VideoReadError as err:
+        logger.exception('Problem opening file %s: %s', video_path, err)
+        return None
     use_gsff = not settings['disable gsff']
     dims = 3 if config.include_luminosity else 2
     max_slots = settings['max track slots']
@@ -162,12 +208,28 @@ def track_bacteria(video_path, settings=None, result_folder=None):
 
     try:
         for batch in reader:
-            frames = batch['frames']
+            data = batch['frames']
             count = batch['count']
-            frame_valid = np.zeros((frames.shape[0],), bool)
+            frame_valid = np.zeros((batch_size,), bool)
             frame_valid[:count] = True
-            tables = det.detect_batch(frames, frame_valid, config,
-                                      threshold_state=threshold_state)
+            if transfer_mode == 'pixels':
+                from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
+                f_cap = data['px_x'].shape[1]
+                px_idx = np.arange(f_cap, dtype=np.int32)[None, :]
+                px_valid = px_idx < data['count'][:, None]
+                tables = detect_from_pixels(
+                    data['px_x'].astype(np.int32), data['px_y'].astype(np.int32),
+                    px_valid, data['px_marker'] > 0, frame_valid,
+                    h=frame_height, w=frame_width,
+                    double_threshold=(config.mode == 'adaptive_double'),
+                    max_det=config.max_det, max_bh=config.max_bh,
+                    cc_iters=config.cc_iters,
+                    include_luminosity=config.include_luminosity,
+                    px_gray=data['px_gray'].astype(np.int32)
+                    if config.include_luminosity and 'px_gray' in data else None)
+            else:
+                tables = det.detect_batch(data, frame_valid, config,
+                                          threshold_state=threshold_state)
             n_comp = np.asarray(tables['n_components'])
             if not overflow_warned and (n_comp[:count] > config.max_det).any():
                 overflow_warned = True
@@ -189,6 +251,11 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         logger.critical('Error during read with file %s', video_path)
         error_during_read = settings['stop evaluation on error']
     flush()
+    if preprocess is not None and preprocess.overflowed:
+        logger.warning(
+            '%s frame(s) exceeded %s foreground pixels; extra pixels dropped. '
+            "Raise 'max foreground pixels per frame' in [TPU SETTINGS].",
+            preprocess.overflowed, preprocess.max_fg)
 
     dropped = int(np.asarray(state['dropped_registrations']))
     if dropped:
