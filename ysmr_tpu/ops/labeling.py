@@ -168,22 +168,22 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024, max_bh=96
     :param seg: (N,) int32 dense component ids (invalid/background = max_det)
     :param active: (N,) bool
     :param gray_vals: optional (N,) int32 grayscale for luminosity sums
-    :return: dict of per-component arrays as described in component_tables
+    :return: dict of per-component arrays as described in component_tables.
+        Without luminosity, 'count' is the row-span upper bound (its only
+        consumer is the count > 0 validity test); with luminosity it is the
+        exact pixel count needed for the mean.
     """
     ones = active.astype(jnp.int32)
     nseg = max_det + 1
-    count = jax.ops.segment_sum(ones, seg, num_segments=nseg)
     big = jnp.int32(1 << 30)
     x_masked_min = jnp.where(ones > 0, xs, big)
     y_masked_min = jnp.where(ones > 0, ys, big)
     x_masked_max = jnp.where(ones > 0, xs, -big)
-    y_masked_max = jnp.where(ones > 0, ys, -big)
-    min_x = jax.ops.segment_min(x_masked_min, seg, num_segments=nseg)
-    max_x = jax.ops.segment_max(x_masked_max, seg, num_segments=nseg)
     min_y = jax.ops.segment_min(y_masked_min, seg, num_segments=nseg)
-    max_y = jax.ops.segment_max(y_masked_max, seg, num_segments=nseg)
 
-    # per-(component, bbox-row) x extremes -> hull candidate points
+    # per-(component, bbox-row) x extremes; the remaining per-component stats
+    # (count, min/max x, max y) derive from these small tables instead of
+    # additional full-length segment reductions
     rel_y = jnp.clip(ys - min_y[seg], 0, max_bh - 1)
     row_key = jnp.where(ones > 0, seg * max_bh + rel_y, max_det * max_bh)
     nrow = max_det * max_bh + 1
@@ -193,6 +193,12 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024, max_bh=96
     row_max_x = row_max_x[:max_det * max_bh].reshape(max_det, max_bh)
     row_valid = row_min_x < big
     abs_y = (min_y[:max_det, None] + jnp.arange(max_bh, dtype=jnp.int32)[None, :])
+    min_x = jnp.min(jnp.where(row_valid, row_min_x, big), axis=1)
+    max_x = jnp.max(jnp.where(row_valid, row_max_x, -big), axis=1)
+    max_y = jnp.max(jnp.where(row_valid, abs_y, -big), axis=1)
+    count = jax.ops.segment_sum(ones, seg, num_segments=nseg)[:max_det] \
+        if gray_vals is not None else \
+        jnp.sum(jnp.where(row_valid, row_max_x - row_min_x + 1, 0), axis=1)
     pts_x = jnp.concatenate([row_min_x, row_max_x], axis=1).astype(jnp.float32)
     pts_y = jnp.concatenate([abs_y, abs_y], axis=1).astype(jnp.float32)
     pts = jnp.stack([pts_x, pts_y], axis=-1)  # (max_det, 2*max_bh, 2)
@@ -265,42 +271,51 @@ def _chain_hull(xs, ys, valid, lower):
     def get(h, idx):
         return jnp.take_along_axis(h, jnp.maximum(idx, 0)[:, None], axis=1)[:, 0]
 
+    # the stack's top two entries live in registers (ax/ay = s[-2],
+    # bx/by = s[-1]) so the pop condition needs no gathers at all and a pop
+    # costs exactly one gather (refilling s[-2] from the stack)
     def push_step(i, state):
-        hx, hy, size = state
+        hx, hy, size, ax, ay, bx, by = state
         px = xs[:, i]
         py = ys[:, i]
         v = valid[:, i]
 
         def pop_cond(st):
-            hx, hy, size = st
-            ax = get(hx, size - 2)
-            ay = get(hy, size - 2)
-            bx = get(hx, size - 1)
-            by = get(hy, size - 1)
+            _, _, size, ax, ay, bx, by = st
             c = cross(ax, ay, bx, by, px, py) * sign
             return jnp.any(v & (size >= 2) & (c <= 0))
 
         def pop_body(st):
-            hx, hy, size = st
-            ax = get(hx, size - 2)
-            ay = get(hy, size - 2)
-            bx = get(hx, size - 1)
-            by = get(hy, size - 1)
+            hx, hy, size, ax, ay, bx, by = st
             c = cross(ax, ay, bx, by, px, py) * sign
-            do_pop = v & (size >= 2) & (c <= 0)
-            return hx, hy, size - do_pop.astype(jnp.int32)
+            pop = v & (size >= 2) & (c <= 0)
+            new_size = size - pop.astype(jnp.int32)
+            nax = get(hx, new_size - 2)
+            nay = get(hy, new_size - 2)
+            ax2 = jnp.where(pop, nax, ax)
+            ay2 = jnp.where(pop, nay, ay)
+            bx2 = jnp.where(pop, ax, bx)
+            by2 = jnp.where(pop, ay, by)
+            return hx, hy, new_size, ax2, ay2, bx2, by2
 
-        hx, hy, size = jax.lax.while_loop(pop_cond, pop_body, (hx, hy, size))
+        hx, hy, size, ax, ay, bx, by = jax.lax.while_loop(
+            pop_cond, pop_body, (hx, hy, size, ax, ay, bx, by))
         onehot = (jnp.arange(r, dtype=jnp.int32)[None, :] == size[:, None]) & v[:, None]
         hx = jnp.where(onehot, px[:, None], hx)
         hy = jnp.where(onehot, py[:, None], hy)
+        ax = jnp.where(v & (size >= 1), bx, ax)
+        ay = jnp.where(v & (size >= 1), by, ay)
+        bx = jnp.where(v, px, bx)
+        by = jnp.where(v, py, by)
         size = size + v.astype(jnp.int32)
-        return hx, hy, size
+        return hx, hy, size, ax, ay, bx, by
 
     hx0 = jnp.zeros((d, r), jnp.float32)
     hy0 = jnp.zeros((d, r), jnp.float32)
     size0 = jnp.zeros((d,), jnp.int32)
-    hx, hy, size = jax.lax.fori_loop(0, r, push_step, (hx0, hy0, size0))
+    reg0 = jnp.zeros((d,), jnp.float32)
+    hx, hy, size, *_ = jax.lax.fori_loop(
+        0, r, push_step, (hx0, hy0, size0, reg0, reg0, reg0, reg0))
     return hx, hy, size
 
 

@@ -44,11 +44,16 @@ def detect_from_pixels(px_x, px_y, px_valid, px_marker, frame_valid, *, h, w,
     lin = jnp.where(valid, px_y * w + px_x, n)
 
     t_off = jnp.arange(t, dtype=jnp.int32)[:, None] * (n + 1)
+    # out-of-range (dropped) yet unique indices for invalid entries, so the
+    # scatters can carry unique_indices=True (vastly cheaper lowering)
+    oob = (jnp.int32(t * (n + 1)) +
+           jnp.arange(t * f, dtype=jnp.int32).reshape(t, f))
 
     def rasterize_all(lin_b):
         """(T, F) linear indices -> (T, H, W) masks via one flat scatter."""
-        flat = jnp.zeros((t * (n + 1),), bool).at[
-            (lin_b + t_off).reshape(-1)].set(True, mode='drop')
+        idx = jnp.where(lin_b < n, lin_b + t_off, oob)
+        flat = jnp.zeros((t * (n + 1),), bool).at[idx.reshape(-1)].set(
+            True, mode='drop', unique_indices=True)
         return flat.reshape(t, n + 1)[:, :n].reshape(t, h, w)
 
     def gather_all(img_b, lin_b):
@@ -63,9 +68,10 @@ def detect_from_pixels(px_x, px_y, px_valid, px_marker, frame_valid, *, h, w,
         roots = act & (lab_fg == lin_b)
         rank = jnp.cumsum(roots.astype(jnp.int32), axis=1) - 1
         n_comp = jnp.sum(roots.astype(jnp.int32), axis=1)  # (T,)
+        idx = jnp.where(roots, lin_b + t_off, oob)
         rank_img = jnp.zeros((t * (n + 1),), jnp.int32).at[
-            (jnp.where(roots, lin_b, n) + t_off).reshape(-1)].set(
-                rank.reshape(-1), mode='drop')
+            idx.reshape(-1)].set(rank.reshape(-1), mode='drop',
+                                 unique_indices=True)
         comp = rank_img[(jnp.clip(lab_fg, 0, n) + t_off).reshape(-1)].reshape(t, f)
         if reverse:
             comp = n_comp[:, None] - 1 - comp
