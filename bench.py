@@ -57,6 +57,7 @@ def bench_settings(extra=None):
         'max track slots': 1024,
         'max bounding box height': 64,
         'frame batch size': 64,
+        'max foreground pixels per frame': 8192,
     })
     if extra:
         settings.update(extra)

@@ -7,13 +7,18 @@ on CPU, as recommended for JAX multi-device testing.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('YSMR_NO_EDITOR', '1')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
+# The environment may pin JAX_PLATFORMS to a hardware backend (e.g. the axon
+# TPU plugin registers itself at interpreter start), so env vars alone do not
+# reliably select CPU for tests — set the config explicitly before any
+# backend initialises.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

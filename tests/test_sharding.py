@@ -1,0 +1,75 @@
+"""Multi-device mesh tests (8 virtual CPU devices via conftest XLA flags)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+needs_devices = pytest.mark.skipif(jax.device_count() < 4,
+                                   reason='needs >= 4 devices')
+
+
+@needs_devices
+def test_sharded_greedy_matches_single_device(rng):
+    from ysmr_tpu.ops import assignment as asg
+    from ysmr_tpu.parallel import sharding as shd
+    mesh = shd.make_mesh(4)
+    r, c = 64, 48
+    obj_xy = rng.uniform(0, 500, (r, 2)).astype(np.float32)
+    det_xy = rng.uniform(0, 500, (c, 2)).astype(np.float32)
+    obj_valid = rng.random(r) < 0.9
+    det_valid = rng.random(c) < 0.9
+    d = asg.pairwise_distances(obj_xy, obj_valid, det_xy, det_valid)
+    want = asg.greedy_assign(d, obj_valid, det_valid)
+    got = shd.sharded_greedy_assign(mesh, shd.shard_videos(mesh, obj_xy),
+                                    obj_valid, det_xy, det_valid)
+    assert np.asarray(got['row_to_col']).tolist() == \
+        np.asarray(want['row_to_col']).tolist()
+    assert np.asarray(got['col_matched']).tolist() == \
+        np.asarray(want['col_matched']).tolist()
+
+
+@needs_devices
+def test_multi_video_detect_track_matches_serial(rng):
+    """Each sharded video must produce the same emissions as a solo run."""
+    from ysmr_tpu.ops import preprocess as pp
+    from ysmr_tpu.parallel import sharding as shd
+    from ysmr_tpu.pipeline import detect as det
+    from ysmr_tpu.pipeline import tracker as trk
+    import jax.numpy as jnp
+
+    mesh = shd.make_mesh(4)
+    v, t, h, w = 4, 3, 64, 96
+    max_slots = 16
+    frames = rng.integers(0, 50, (v, t, h, w, 3), dtype=np.uint8)
+    # paint one bright blob per video at distinct positions
+    for i in range(v):
+        for k in range(t):
+            y0, x0 = 10 + 6 * i, 20 + 4 * k
+            frames[i, k, y0:y0 + 4, x0:x0 + 6] = 220
+
+    dkw = dict(mode='adaptive_double', white_on_dark=True, offset=5,
+               double_delta=2.0, max_det=16, max_bh=16, cc_iters=32,
+               include_luminosity=False)
+    tkw = dict(max_disappeared=30.0, use_gsff=False)
+
+    state0 = trk.init_tracker_state(max_slots, dims=2)
+    state = jax.tree_util.tree_map(lambda x: jnp.stack([x] * v), state0)
+    frame_valid = np.ones((v, t), bool)
+    new_state, em = shd.multi_video_detect_track(
+        mesh, shd.shard_videos(mesh, frames), frame_valid,
+        detect_kwargs=dkw, tracker_state=state, tracker_kwargs=tkw)
+    em_mask = np.asarray(em['mask'])
+    em_pos = np.asarray(em['pos'])
+
+    for i in range(v):
+        gray = pp.bgr_to_gray(frames[i])
+        blurred = pp.blur3(gray)
+        tables = det.detect_from_blurred(
+            gray, blurred, np.ones(t, bool), np.zeros(t, np.int32), **dkw)
+        st, em_i = trk.run_tracker_scan(
+            trk.init_tracker_state(max_slots, dims=2), tables['det_xy'],
+            tables['det_info'], tables['det_valid'], **tkw)
+        assert np.array_equal(em_mask[i], np.asarray(em_i['mask']))
+        np.testing.assert_allclose(em_pos[i], np.asarray(em_i['pos']), atol=1e-5)

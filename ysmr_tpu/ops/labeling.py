@@ -310,10 +310,13 @@ def _chain_hull(xs, ys, valid, lower):
         size = size + v.astype(jnp.int32)
         return hx, hy, size, ax, ay, bx, by
 
-    hx0 = jnp.zeros((d, r), jnp.float32)
-    hy0 = jnp.zeros((d, r), jnp.float32)
-    size0 = jnp.zeros((d,), jnp.int32)
-    reg0 = jnp.zeros((d,), jnp.float32)
+    # initial carries derive from the inputs (not constants) so their
+    # varying-axes types stay consistent under shard_map
+    hx0 = xs * 0.0
+    hy0 = ys * 0.0
+    size0 = jnp.sum(jnp.zeros_like(valid, dtype=jnp.int32) *
+                    valid.astype(jnp.int32), axis=1)
+    reg0 = hx0[:, 0]
     hx, hy, size, *_ = jax.lax.fori_loop(
         0, r, push_step, (hx0, hy0, size0, reg0, reg0, reg0, reg0))
     return hx, hy, size
@@ -382,12 +385,14 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
     point-extents, and the angle of the w side in degrees within [0, 90).
     Exact up to the final angular resolution (90 deg / coarse_k / fine_k).
 
-    Known deviation: when several rectangles share the minimal area (common
-    for tiny symmetric integer blobs, e.g. diamonds), OpenCV's rotating
-    calipers returns the hull-edge-aligned representative while the sweep may
-    return a different equal-area one; the enclosed area — which drives the
-    selection gates — is identical, only the (w, h, angle) decomposition of
-    that area differs (tests/test_labeling.py documents this).
+    Known deviation: when several hull edges yield exactly the minimal area
+    (common for tiny symmetric integer blobs), OpenCV's choice among them is
+    decided by float32 rounding noise in its incremental caliper arithmetic
+    and is not deterministically reproducible; this build picks the
+    largest-angle tying edge (the calipers' last-visited on exact ties),
+    which matches cv2 in the overwhelming majority of cases. The enclosed
+    area — which drives the selection gates — is always identical; only the
+    (w, h, angle) decomposition can differ on such ties.
 
     :param pts: (D, P, 2) float32 hull candidates; valid (D, P) bool
     :return: dict of (D,) arrays: cx, cy, w, h, angle_deg
@@ -437,11 +442,11 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
     if edge_angles is not None:
         # evaluate hull-edge candidate angles and prefer them whenever they
         # tie (or beat) the sweep optimum — cv2's calipers always returns a
-        # hull-edge-aligned rectangle. Among tying edges the calipers visits
-        # edge angles in increasing order starting just above 0 and keeps the
-        # first minimum (strict <), so a 0-degree edge — reached only after
-        # the full 90-degree rotation — loses ties: rank ties by angle with
-        # 0 mapped to 90 (verified against cv2 in tests).
+        # hull-edge-aligned rectangle. The calipers starts axis-aligned and
+        # visits edges in increasing angle, replacing the best on <=, so
+        # among tying edges the LAST visited — the largest angle in (0, 90)
+        # — wins, and an axis-aligned candidate (angle 0) loses all ties
+        # (verified against cv2 in tests on tie-rich integer blobs).
         big = jnp.float32(3.0e38)
         ea = jnp.where(edge_valid, edge_angles, 0.0)
         emin_u, emax_u, emin_v, emax_v = fine_extents(pts, valid, ea)
@@ -449,8 +454,7 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
         earea = jnp.where(edge_valid, earea, big)
         e_area_min = jnp.min(earea, axis=1, keepdims=True)
         tie = earea <= e_area_min * (1 + 1e-5) + 1e-5
-        order_key = jnp.where(ea <= 1e-9, jnp.float32(np.pi / 2), ea)
-        ebest = jnp.argmin(jnp.where(tie, order_key, big), axis=1)
+        ebest = jnp.argmax(jnp.where(tie, ea, -1.0), axis=1)
         e_area_best = earea[rows, ebest]
         f_area_best = farea[rows, fbest]
         take_edge = e_area_best <= f_area_best * (1 + 1e-5) + 1e-5

@@ -195,6 +195,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     error_during_read = False
     frames_processed = 0
     overflow_warned = False
+    # one-batch delay on emission readback: the device->host fetch of batch
+    # N-1 overlaps the device compute of batch N (jax dispatch is async)
+    emissions_in_flight = None  # (emissions, start, frame_valid)
 
     def flush():
         nonlocal pending, pending_rows
@@ -240,16 +243,23 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             state, emissions = trk.run_tracker_scan(
                 state, tables['det_xy'], tables['det_info'],
                 tables['det_valid'], **tracker_kwargs)
-            out = _compact_emissions(emissions, batch['start'], frame_valid)
             frames_processed += count
-            if out is not None:
-                pending.append(out)
-                pending_rows += len(out['TRACK_ID'])
-                if pending_rows >= flush_every:
-                    flush()
+            if emissions_in_flight is not None:
+                out = _compact_emissions(*emissions_in_flight)
+                if out is not None:
+                    pending.append(out)
+                    pending_rows += len(out['TRACK_ID'])
+                    if pending_rows >= flush_every:
+                        flush()
+            emissions_in_flight = (emissions, batch['start'], frame_valid)
     except VideoReadError:
         logger.critical('Error during read with file %s', video_path)
         error_during_read = settings['stop evaluation on error']
+    if emissions_in_flight is not None and not error_during_read:
+        out = _compact_emissions(*emissions_in_flight)
+        if out is not None:
+            pending.append(out)
+            pending_rows += len(out['TRACK_ID'])
     flush()
     if preprocess is not None and preprocess.overflowed:
         logger.warning(
