@@ -1,0 +1,223 @@
+#!/usr/bin/env python3
+"""Fused Pallas kernel: rasterize -> connected components -> label gather.
+
+The XLA formulation of the pixels-mode detect path (pipeline/detect_pixels.py)
+round-trips full label images through HBM per frame (scatter, stencil
+while-loop, gather — each a separate HBM pass). This kernel keeps the whole
+frame resident in VMEM: per frame it
+
+1. rasterizes the foreground pixel list into a VMEM label buffer (label =
+   original linear pixel index, background = sentinel),
+2. runs min-label stencil propagation to convergence with a VPU
+   shifted-minimum loop (4- or 8-connectivity) entirely in VMEM,
+3. for double-threshold mode, marks the component roots that contain marker
+   pixels, derives per-pixel keep flags, re-rasterizes the kept set, and runs
+   the 8-connectivity pass,
+4. reads the final labels back at the foreground pixel positions.
+
+TPU addressing notes: per-pixel data lives in SMEM (scalar reads/writes with
+dynamic indices are legal there), while the image buffer is laid out as
+(hp*wp/128, 128) in VMEM — a dynamic *sublane* index is legal, so a pixel
+scatter is a (1,128) read-modify-write with a lane one-hot, and a gather is a
+(1,128) read plus lane-select reduction. The stencil pass reshapes the same
+buffer to (hp, wp) (free: both are row-major with wp % 128 == 0).
+
+HBM traffic per frame is just the pixel lists (~100 KB) instead of several
+full-image passes (~40 MB). Label values are identical to
+ops.labeling.label_components (minimum ORIGINAL linear index per component),
+so downstream compaction/statistics are shared with the XLA path and the two
+paths are asserted equal in tests/test_pallas_cc.py.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SENTINEL = 2 ** 30  # python int (a jnp constant would be a captured const)
+
+
+def _pad_dims(h, w):
+    # at least one padding row/column: the stencil uses circular rolls, and
+    # the sentinel-filled pad ring keeps opposite image edges from touching
+    hp = ((h + 8) // 8) * 8
+    wp = ((w + 128) // 128) * 128
+    return hp, wp
+
+
+def _stencil_converge(lab, connectivity, max_iters):
+    """Min-label propagation to convergence on a VMEM-resident (hp, wp) array."""
+    is_fg = lab < _SENTINEL
+    hp, wp = lab.shape
+
+    def one_iter(state):
+        lab, _, it = state
+        # pltpu.roll requires non-negative shifts; size-1 == -1 (circular)
+        up = pltpu.roll(lab, 1, 0)
+        down = pltpu.roll(lab, hp - 1, 0)
+        left = pltpu.roll(lab, 1, 1)
+        right = pltpu.roll(lab, wp - 1, 1)
+        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        if connectivity == 8:
+            ul = pltpu.roll(up, 1, 1)
+            ur = pltpu.roll(up, wp - 1, 1)
+            dl = pltpu.roll(down, 1, 1)
+            dr = pltpu.roll(down, wp - 1, 1)
+            m = jnp.minimum(m, jnp.minimum(jnp.minimum(ul, ur),
+                                           jnp.minimum(dl, dr)))
+        new = jnp.where(is_fg, jnp.minimum(lab, m), _SENTINEL)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, one_iter,
+                                   (lab, jnp.any(is_fg), jnp.int32(0)))
+    return lab
+
+
+def _make_kernel(h, w, f, double_threshold, max_iters):
+    hp, wp = _pad_dims(h, w)
+    nrows = hp * wp // 128
+
+    def kernel(lin_ref, flags_ref, lab_out_ref, keep_out_ref, lab_buf, aux_buf):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def buf_addr(lin):
+            """original lin (y*w + x) -> padded buffer (row, lane).
+
+            The row is clamped: some call sites evaluate buf_read on garbage
+            (e.g. the keep pass reads the stashed root of *invalid* pixels
+            whose result is discarded by a jnp.where) and an out-of-bounds
+            VMEM access is a hardware fault, not a Python error.
+            """
+            lin = jnp.clip(lin, 0, h * w - 1)
+            y = lin // w
+            x = lin - y * w
+            p = y * wp + x
+            return p // 128, p - (p // 128) * 128
+
+        def buf_write(buf, lin, value):
+            row, lane = buf_addr(lin)
+            cur = buf[pl.ds(row, 1), :]
+            buf[pl.ds(row, 1), :] = jnp.where(lanes == lane, value, cur)
+
+        def buf_read(buf, lin):
+            row, lane = buf_addr(lin)
+            return jnp.sum(jnp.where(lanes == lane, buf[pl.ds(row, 1), :], 0))
+
+        def clear(buf, fill):
+            buf[:, :] = jnp.full((nrows, 128), fill, jnp.int32)
+
+        def stencil(connectivity):
+            arr = lab_buf[:, :].reshape(hp, wp)
+            arr = _stencil_converge(arr, connectivity, max_iters)
+            lab_buf[:, :] = arr.reshape(nrows, 128)
+
+        def raster(i, use_keep):
+            fl = flags_ref[0, 0, i]
+            ok = (fl & 1) > 0
+            if use_keep:
+                ok = ok & (keep_out_ref[0, 0, i] > 0)
+
+            @pl.when(ok)
+            def _():
+                lin = lin_ref[0, 0, i]
+                buf_write(lab_buf, lin, lin)
+            return 0
+
+        # ---- phase A: rasterize + first labeling ----
+        clear(lab_buf, _SENTINEL)
+        jax.lax.fori_loop(0, f, lambda i, c: raster(i, False), 0)
+        stencil(4 if double_threshold else 8)
+
+        if double_threshold:
+            clear(aux_buf, 0)
+
+            def mark(i, c):
+                fl = flags_ref[0, 0, i]
+
+                @pl.when((fl & 1) > 0)
+                def _():
+                    root = buf_read(lab_buf, lin_ref[0, 0, i])
+                    lab_out_ref[0, 0, i] = root  # stash comp4 root label
+
+                    @pl.when((fl & 2) > 0)
+                    def _():
+                        buf_write(aux_buf, root, 1)
+                return 0
+
+            jax.lax.fori_loop(0, f, mark, 0)
+
+            def keep(i, c):
+                fl = flags_ref[0, 0, i]
+                kept = jnp.where((fl & 1) > 0,
+                                 buf_read(aux_buf, lab_out_ref[0, 0, i]), 0)
+                keep_out_ref[0, 0, i] = kept
+                return 0
+
+            jax.lax.fori_loop(0, f, keep, 0)
+
+            # ---- phase B: re-rasterize kept pixels, 8-conn labeling ----
+            clear(lab_buf, _SENTINEL)
+            jax.lax.fori_loop(0, f, lambda i, c: raster(i, True), 0)
+            stencil(8)
+        else:
+            def keep_all(i, c):
+                keep_out_ref[0, 0, i] = flags_ref[0, 0, i] & 1
+                return 0
+            jax.lax.fori_loop(0, f, keep_all, 0)
+
+        def readback(i, c):
+            kept = keep_out_ref[0, 0, i] > 0
+            lab_out_ref[0, 0, i] = jnp.where(
+                kept, buf_read(lab_buf, lin_ref[0, 0, i]), jnp.int32(-1))
+            return 0
+
+        jax.lax.fori_loop(0, f, readback, 0)
+
+    return kernel, hp, wp
+
+
+@partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_iters',
+                                   'interpret'))
+def cc_labels_at_pixels(px_x, px_y, px_valid, px_marker, *, h, w,
+                        double_threshold, max_iters=64, interpret=False):
+    """Component labels at foreground pixels, fully fused in Pallas.
+
+    :param px_x, px_y: (T, F) int32 pixel coordinates (raster order)
+    :param px_valid, px_marker: (T, F) bool
+    :return: (lab_fg (T, F) int32 — min-linear-index component label, -1 for
+              dropped/invalid pixels; keep (T, F) bool — pixel survives the
+              marker reconstruction)
+    """
+    t, f = px_x.shape
+    lin = (jnp.clip(px_y, 0, h - 1) * w + jnp.clip(px_x, 0, w - 1)).astype(jnp.int32)
+    flags = (px_valid.astype(jnp.int32) |
+             (px_marker.astype(jnp.int32) << 1)).astype(jnp.int32)
+    kernel, hp, wp = _make_kernel(h, w, f, double_threshold, max_iters)
+    # SMEM blocks must match the trailing array dims; give the per-frame
+    # lists a (t, 1, f) layout so each program's block is exactly (1, 1, f)
+    smem_spec = pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    lab_fg, keep = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[smem_spec, smem_spec],
+        out_specs=(smem_spec, smem_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, 1, f), jnp.int32),
+            jax.ShapeDtypeStruct((t, 1, f), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp * wp // 128, 128), jnp.int32),
+            pltpu.VMEM((hp * wp // 128, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lin.reshape(t, 1, f), flags.reshape(t, 1, f))
+    return lab_fg.reshape(t, f), keep.reshape(t, f) > 0
