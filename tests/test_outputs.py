@@ -1,0 +1,113 @@
+"""Artifact tests: plots, annotated video, statistics CSVs, luminosity path."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _tracks_df(rng, n_tracks=6, n_frames=90):
+    rows = []
+    for tid in range(n_tracks):
+        x, y = rng.uniform(50, 250, 2)
+        vx, vy = (0.0, 0.0) if tid < 2 else rng.uniform(-1.5, 1.5, 2)
+        for t in range(n_frames):
+            rows.append((tid, t, x + vx * t + rng.normal(0, 0.1),
+                         y + vy * t + rng.normal(0, 0.1),
+                         6.0 + 0.1 * tid, 3.0, 45.0))
+    return pd.DataFrame(rows, columns=['TRACK_ID', 'POSITION_T', 'POSITION_X',
+                                       'POSITION_Y', 'WIDTH', 'HEIGHT',
+                                       'DEGREES_ANGLE'])
+
+
+def test_evaluate_writes_all_artifacts(tmp_path, rng, tmp_ini):
+    from ysmr_tpu.config import get_configs
+    from ysmr_tpu.pipeline.evaluate import evaluate_tracks
+    settings = get_configs(tmp_ini)
+    settings.update({'verbose': False, 'log to file': False,
+                     'minimal length in seconds': 2.0,
+                     'limit track length to x seconds': 3.0,
+                     'save angle distribution plot / bins': 18})
+    df = _tracks_df(rng)
+    out = evaluate_tracks(path_to_file=str(tmp_path / 'vid_selected_data.csv'),
+                          results_directory=str(tmp_path), df=df,
+                          settings=settings, fps=30.0)
+    assert out is not None
+    analysed, stats = out
+    assert stats.shape[0] == 6
+    expected = ['vid_selected_data_statistics.csv',
+                'vid_selected_data_analysed.csv',
+                'vid_selected_data_angle_histogram.png',
+                'vid_selected_data_Bac_Run_Overview.png',
+                'vid_selected_data_rose_graph.png',
+                'vid_selected_data_speed.png',
+                'vid_selected_data_Median_speed.png',
+                'vid_selected_data_perc_motile.png']
+    for name in expected:
+        assert os.path.isfile(str(tmp_path / name)), name
+    # statistics CSV columns in the reference order
+    cols = pd.read_csv(str(tmp_path / 'vid_selected_data_statistics.csv')).columns
+    for col in ['Turn Points (TP/s)', 'Distance (µm)', 'Speed (µm/s)', 'Time (s)',
+                'Displacement (µm)', 'Perc. Motile', 'Arc-Chord Ratio',
+                'Bacteria Length', 'Displacement divided by length',
+                'Motility Phenotype', 'TRACK_ID', 'Median Speed']:
+        assert col in cols, col
+
+
+def test_annotate_video_writes_file(tmp_path, rng, tmp_ini):
+    import cv2
+    from ysmr_tpu.config import get_configs
+    from ysmr_tpu.pipeline.annotate import annotate_video
+    settings = get_configs(tmp_ini)
+    settings.update({'log to file': False, 'minimal frame count': 5,
+                     'save video fourcc codec': 'MJPG',
+                     'save video file extension': '.avi'})
+    video = str(tmp_path / 'clip.avi')
+    wtr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 30, (160, 120))
+    for _ in range(10):
+        wtr.write(np.zeros((120, 160, 3), np.uint8))
+    wtr.release()
+    df = pd.DataFrame({
+        'TRACK_ID': [0] * 10, 'POSITION_T': list(range(10)),
+        'POSITION_X': np.linspace(20, 100, 10),
+        'POSITION_Y': np.linspace(20, 80, 10),
+        'moving': [1] * 10, 'turn_points': [0] * 5 + [1] + [0] * 4,
+        'motility_phenotype': ['motile'] * 10,
+    })
+    annotate_video(video, df, output_save=True, settings=settings,
+                   result_folder=str(tmp_path))
+    out = str(tmp_path / 'clip_annotated_output.avi')
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    cap.release()
+
+
+def test_pixels_luminosity_matches_frames(rng):
+    """Luminosity mode: component gray means must match across transfer modes."""
+    from ysmr_tpu.io.preproc import HostPreprocessor
+    from ysmr_tpu.pipeline import detect as det
+    from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
+    from tests.test_detect_pixels import _blob_frames, _settings
+    settings = _settings(2.0, lum=True)
+    frames = _blob_frames(rng)
+    t, h, w, _ = frames.shape
+    config = det.DetectorConfig(settings, 30.0)
+    assert config.include_luminosity
+    frame_valid = np.ones(t, bool)
+    ref = det.detect_batch(frames, frame_valid, config)
+    prep = HostPreprocessor(settings, 30.0, max_fg=4096)
+    batches = [prep(f) for f in frames]
+    got = detect_from_pixels(
+        np.stack([b['px_x'] for b in batches]),
+        np.stack([b['px_y'] for b in batches]),
+        np.array([b['count'] for b in batches], np.int32),
+        np.stack([b['px_marker'] for b in batches]),
+        frame_valid, h=h, w=w, double_threshold=True,
+        max_det=config.max_det, max_bh=config.max_bh, cc_iters=config.cc_iters,
+        include_luminosity=True,
+        px_gray=np.stack([b['px_gray'] for b in batches]))
+    assert np.array_equal(np.asarray(got['det_valid']), np.asarray(ref['det_valid']))
+    np.testing.assert_allclose(np.asarray(got['det_xy']), np.asarray(ref['det_xy']),
+                               atol=1e-4)

@@ -25,21 +25,29 @@ from ysmr_tpu.ops import labeling as lb
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
                                    'max_bh', 'cc_iters', 'include_luminosity'))
-def detect_from_pixels(px_x, px_y, px_valid, px_marker, frame_valid, *, h, w,
+def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None):
     """Detection tables from per-frame foreground pixel lists.
 
-    :param px_x, px_y: (T, F) int32 pixel coordinates (raster order)
-    :param px_valid: (T, F) bool
-    :param px_marker: (T, F) bool — stricter-threshold membership (double mode)
+    Inputs arrive in the host's compact wire format (int16 coordinates,
+    uint8 markers, per-frame counts) and are widened on device — over a slow
+    host-device link the transfer size is the throughput bound.
+
+    :param px_x, px_y: (T, F) int16/int32 pixel coordinates (raster order)
+    :param px_counts: (T,) int32 number of valid pixels per frame
+    :param px_marker: (T, F) bool/uint8 — stricter-threshold membership
     :param frame_valid: (T,) bool
-    :param px_gray: optional (T, F) int32 grayscale at the pixels (luminosity)
+    :param px_gray: optional (T, F) int grayscale at the pixels (luminosity)
     :return: dict with det_xy (T, D, K), det_info (T, D, 3), det_valid (T, D),
         n_components (T,)
     """
     t, f = px_x.shape
     n = h * w
+    px_x = px_x.astype(jnp.int32)
+    px_y = px_y.astype(jnp.int32)
+    px_marker = px_marker.astype(jnp.int32) > 0
+    px_valid = jnp.arange(f, dtype=jnp.int32)[None, :] < px_counts[:, None]
     valid = px_valid & frame_valid[:, None]
     lin = jnp.where(valid, px_y * w + px_x, n)
 
@@ -99,7 +107,8 @@ def detect_from_pixels(px_x, px_y, px_valid, px_marker, frame_valid, *, h, w,
     lab8_fg = gather_all(lab8, lin_kept)
     comp, n_components = compact_ids(lab8_fg, keep, lin_kept, reverse=True)
     seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
-    gray_in = px_gray if px_gray is not None else jnp.zeros_like(px_x)
+    gray_in = px_gray.astype(jnp.int32) if px_gray is not None \
+        else jnp.zeros_like(px_x)
 
     def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f):
         tables = lb.component_stats(

@@ -141,6 +141,10 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     if not result_folder:
         result_folder = create_results_folder(video_path)
     logger.info('Starting with file %s', video_path)
+    if settings['display video analysis']:
+        logger.warning('Live display during tracking is not available in the '
+                       'batched device pipeline; use annotate_video() (or the '
+                       "'save video' option) to inspect detections.")
 
     old_list, list_name = save_list(
         path=video_path, result_folder=result_folder, first_call=True,
@@ -217,18 +221,17 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             frame_valid[:count] = True
             if transfer_mode == 'pixels':
                 from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
-                f_cap = data['px_x'].shape[1]
-                px_idx = np.arange(f_cap, dtype=np.int32)[None, :]
-                px_valid = px_idx < data['count'][:, None]
+                # ship the compact wire format (int16/uint8); widening and
+                # validity masks happen on device
                 tables = detect_from_pixels(
-                    data['px_x'].astype(np.int32), data['px_y'].astype(np.int32),
-                    px_valid, data['px_marker'] > 0, frame_valid,
+                    data['px_x'], data['px_y'], data['count'],
+                    data['px_marker'], frame_valid,
                     h=frame_height, w=frame_width,
                     double_threshold=(config.mode == 'adaptive_double'),
                     max_det=config.max_det, max_bh=config.max_bh,
                     cc_iters=config.cc_iters,
                     include_luminosity=config.include_luminosity,
-                    px_gray=data['px_gray'].astype(np.int32)
+                    px_gray=data['px_gray']
                     if config.include_luminosity and 'px_gray' in data else None)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
