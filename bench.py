@@ -56,7 +56,7 @@ def bench_settings(extra=None):
         'max detections per frame': 512,
         'max track slots': 1024,
         'max bounding box height': 64,
-        'frame batch size': 64,
+        'frame batch size': 128,
         'max foreground pixels per frame': 8192,
     })
     if extra:

@@ -218,3 +218,192 @@ int64_t extract_fg_pixels(const uint8_t* mask, const uint8_t* markers,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full host preprocessing: BGR -> gray -> blur -> threshold(s) -> extraction
+// ---------------------------------------------------------------------------
+//
+// Bit-exact with the verified OpenCV recipes (see ysmr_tpu/ops/preprocess.py):
+//   gray  = (B*3735 + G*19235 + R*9798 + 2^14) >> 15
+//   blur3 = separable [64,128,64] fixed point, reflect-101, (acc+2^15)>>16
+//   adaptive mean = float32 separable 11-tap Gaussian, replicate border,
+//                   nearbyintf (round half to even, ties do not occur)
+//   rule: BINARY  src - mean + ceil(C)  > 0
+//         BINARY_INV src - mean + floor(C) <= 0
+// State for the two-stage mean mode (stats first, threshold after the host
+// updates its moving average) is kept in thread-local buffers — one decoder
+// thread per video.
+
+namespace {
+
+thread_local std::vector<uint8_t> tl_gray;
+thread_local std::vector<uint8_t> tl_blur;
+thread_local std::vector<int32_t> tl_mean;
+thread_local std::vector<float> tl_tmpf;
+thread_local int64_t tl_h = 0, tl_w = 0;
+
+const float kGauss11[11] = {
+    0.0088122292925622882f,
+    0.027143577143479373f,
+    0.065114056599382686f,
+    0.12164907301380962f,
+    0.1769983568313557f,
+    0.20056541423882085f,
+    0.1769983568313557f,
+    0.12164907301380962f,
+    0.065114056599382686f,
+    0.027143577143479373f,
+    0.0088122292925622882f
+};
+
+}  // namespace
+
+extern "C" {
+
+// Stage 1: BGR (or gray) -> gray -> blur3 (+ adaptive mean when needed).
+// Returns gray integer sums for meanStdDev parity via out_stats[0..2]:
+// sum, sum of squares (as double) when out_stats != nullptr.
+void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
+                       int channels, int need_adaptive_mean,
+                       double* out_stats) {
+    tl_h = h; tl_w = w;
+    tl_gray.resize(h * w);
+    tl_blur.resize(h * w);
+    if (channels == 3) {
+        for (int64_t i = 0; i < h * w; ++i) {
+            const uint8_t* p = img + i * 3;
+            tl_gray[i] = static_cast<uint8_t>(
+                (p[0] * 3735 + p[1] * 19235 + p[2] * 9798 + (1 << 14)) >> 15);
+        }
+    } else {
+        std::memcpy(tl_gray.data(), img, h * w);
+    }
+    if (out_stats != nullptr) {
+        int64_t total = 0;
+        int64_t sumsq = 0;
+        for (int64_t i = 0; i < h * w; ++i) {
+            total += tl_gray[i];
+            sumsq += static_cast<int64_t>(tl_gray[i]) * tl_gray[i];
+        }
+        out_stats[0] = static_cast<double>(total);
+        out_stats[1] = static_cast<double>(sumsq);
+    }
+    // blur3: horizontal then vertical, reflect-101 borders (edge columns
+    // handled outside the vectorisable inner loop)
+    static thread_local std::vector<int32_t> tmp;
+    tmp.resize(h * w);
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* row = tl_gray.data() + y * w;
+        int32_t* trow = tmp.data() + y * w;
+        trow[0] = row[1] * 64 + row[0] * 128 + row[1] * 64;
+        for (int64_t x = 1; x < w - 1; ++x) {
+            trow[x] = row[x - 1] * 64 + row[x] * 128 + row[x + 1] * 64;
+        }
+        trow[w - 1] = row[w - 2] * 64 + row[w - 1] * 128 + row[w - 2] * 64;
+    }
+    for (int64_t y = 0; y < h; ++y) {
+        int64_t yu = y == 0 ? 1 : y - 1;
+        int64_t yd = y == h - 1 ? h - 2 : y + 1;
+        const int32_t* ru = tmp.data() + yu * w;
+        const int32_t* rm = tmp.data() + y * w;
+        const int32_t* rd = tmp.data() + yd * w;
+        uint8_t* out = tl_blur.data() + y * w;
+        for (int64_t x = 0; x < w; ++x) {
+            out[x] = static_cast<uint8_t>(
+                (ru[x] * 64 + rm[x] * 128 + rd[x] * 64 + (1 << 15)) >> 16);
+        }
+    }
+    if (need_adaptive_mean) {
+        // float32 separable 11-tap on the blurred image (the reference
+        // thresholds the blurred image and computes the adaptive mean from
+        // it, track_eval.py:189-208). Rows are expanded into a
+        // replicate-padded float buffer so the inner loops are branch-free
+        // and auto-vectorise.
+        tl_mean.resize(h * w);
+        tl_tmpf.resize(h * w);
+        static thread_local std::vector<float> padrow;
+        padrow.resize(w + 10);
+        for (int64_t y = 0; y < h; ++y) {
+            const uint8_t* row = tl_blur.data() + y * w;
+            float* pr = padrow.data();
+            for (int64_t x = 0; x < w; ++x) pr[x + 5] = row[x];
+            for (int k = 0; k < 5; ++k) {
+                pr[k] = row[0];
+                pr[w + 5 + k] = row[w - 1];
+            }
+            float* trow = tl_tmpf.data() + y * w;
+            for (int64_t x = 0; x < w; ++x) {
+                float acc = 0.0f;
+                for (int k = 0; k < 11; ++k) acc += pr[x + k] * kGauss11[k];
+                trow[x] = acc;
+            }
+        }
+        for (int64_t y = 0; y < h; ++y) {
+            const float* rows[11];
+            for (int k = 0; k < 11; ++k) {
+                int64_t yy = y + k - 5;
+                if (yy < 0) yy = 0;
+                if (yy >= h) yy = h - 1;
+                rows[k] = tl_tmpf.data() + yy * w;
+            }
+            int32_t* out = tl_mean.data() + y * w;
+            for (int64_t x = 0; x < w; ++x) {
+                float acc = 0.0f;
+                for (int k = 0; k < 11; ++k) acc += rows[k][x] * kGauss11[k];
+                out[x] = static_cast<int32_t>(nearbyintf(acc));
+            }
+        }
+    }
+}
+
+// Stage 2: threshold + foreground extraction from the stage-1 buffers.
+// mode: 0 = single adaptive, 1 = adaptive double, 2 = global (mean) threshold
+// white: THRESH_BINARY when nonzero, else THRESH_BINARY_INV
+// c_mask / c_marker: the C offsets as the reference passes them
+// global_thresh: integer threshold for mode 2
+int64_t preprocess_stage2(int mode, int white, double c_mask, double c_marker,
+                          int64_t global_thresh, int16_t* xs, int16_t* ys,
+                          uint8_t* flags, int64_t max_out) {
+    const int64_t h = tl_h, w = tl_w;
+    int64_t count = 0;
+    const int32_t im = white ? -static_cast<int32_t>(std::ceil(c_mask))
+                             : -static_cast<int32_t>(std::floor(c_mask));
+    const int32_t ik = white ? -static_cast<int32_t>(std::ceil(c_marker))
+                             : -static_cast<int32_t>(std::floor(c_marker));
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* b = tl_blur.data() + y * w;
+        const int32_t* m = (mode != 2) ? tl_mean.data() + y * w : nullptr;
+        for (int64_t x = 0; x < w; ++x) {
+            bool in_mask, in_marker = false;
+            if (mode == 2) {
+                in_mask = white ? (b[x] > global_thresh)
+                                : (b[x] <= global_thresh);
+            } else {
+                int32_t d = static_cast<int32_t>(b[x]) - m[x];
+                in_mask = white ? (d > im) : (d <= im);
+                if (mode == 1 && in_mask) {
+                    in_marker = white ? (d > ik) : (d <= ik);
+                }
+            }
+            if (in_mask) {
+                if (count < max_out) {
+                    xs[count] = static_cast<int16_t>(x);
+                    ys[count] = static_cast<int16_t>(y);
+                    flags[count] = static_cast<uint8_t>(in_marker ? 1 : 0);
+                }
+                ++count;
+            }
+        }
+    }
+    return count;
+}
+
+// Grayscale values at given pixels from the stage-1 gray buffer (luminosity).
+void gray_at_pixels(const int16_t* xs, const int16_t* ys, int64_t n,
+                    int16_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = tl_gray[static_cast<int64_t>(ys[i]) * tl_w + xs[i]];
+    }
+}
+
+}  // extern "C"

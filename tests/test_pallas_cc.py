@@ -57,3 +57,17 @@ def test_pallas_cc_matches_xla_labeling(rng, double):
         else:
             assert not keep[i]
             assert lab_fg[i] == -1
+
+
+def test_whole_frame_labeling_matches_xla(rng):
+    from ysmr_tpu.ops.pallas_cc import label_components_whole_frame
+    import tests.test_labeling as TL
+    masks = np.stack([TL._random_blobs(np.random.default_rng(s), h=96, w=128)
+                      for s in range(3)])
+    for conn in (4, 8):
+        got = np.asarray(label_components_whole_frame(
+            masks, connectivity=conn, max_iters=64, interpret=True))
+        for i in range(3):
+            want = np.asarray(lb.label_components(masks[i], connectivity=conn,
+                                                  max_iters=64))
+            assert np.array_equal(got[i], want), (conn, i)

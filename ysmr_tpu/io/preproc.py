@@ -40,8 +40,44 @@ class HostPreprocessor:
             fps, self.offset, self.white_on_dark) if self.mode == 'mean' else None
         self.overflowed = 0
 
+    def _call_native(self, frame):
+        """Single native pass: gray/blur/threshold/extraction in C++."""
+        import cv2 as _cv2
+        frame = np.ascontiguousarray(frame)
+        xs = np.empty(self.max_fg, np.int16)
+        ys = np.empty(self.max_fg, np.int16)
+        flags = np.zeros(self.max_fg, np.uint8)
+        if self.mode == 'mean':
+            stats = native.preprocess_stage1_only(frame, need_mean=False,
+                                                  want_stats=True)
+            n_px = frame.shape[0] * frame.shape[1]
+            mean = stats[0] / n_px
+            std = float(np.sqrt(max(stats[1] / n_px - mean * mean, 0.0)))
+            thr = self.threshold_state.update(mean, std)
+            count = native.preprocess_stage2_only(2, self.white_on_dark, 0.0,
+                                                  0.0, thr, xs, ys, flags)
+        else:
+            mode_id = 1 if self.mode == 'adaptive_double' else 0
+            native.preprocess_stage1_only(frame, need_mean=True)
+            count = native.preprocess_stage2_only(
+                mode_id, self.white_on_dark, -float(self.offset),
+                -float(self.offset + self.double_delta), 0, xs, ys, flags)
+        if count > self.max_fg:
+            self.overflowed += 1
+            count = self.max_fg
+        out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
+        if self.include_luminosity:
+            g = np.zeros(self.max_fg, np.int16)
+            native.gray_at_pixels(xs, ys, count, g)
+            out['px_gray'] = g
+        return out
+
     def __call__(self, frame_bgr):
         """frame -> dict of px_x, px_y, px_marker, px_gray, count."""
+        default_gray = (frame_bgr.ndim == 2 or
+                        self.color_filter == cv2.COLOR_BGR2GRAY)
+        if native.available() and default_gray:
+            return self._call_native(frame_bgr)
         if frame_bgr.ndim == 3:
             gray = cv2.cvtColor(frame_bgr, self.color_filter)
         else:
@@ -81,7 +117,8 @@ class HostPreprocessor:
             count = self.max_fg
         out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
         if self.include_luminosity:
-            g = np.zeros(self.max_fg, gray.dtype)
-            g[:count] = gray[ys[:count], xs[:count]]
-            out['px_gray'] = g.astype(np.int16)
+            g = np.zeros(self.max_fg, np.int16)
+            n = min(count, self.max_fg)
+            g[:n] = gray[ys[:n], xs[:n]]
+            out['px_gray'] = g
         return out

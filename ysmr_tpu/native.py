@@ -42,6 +42,20 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.preprocess_stage1.restype = None
+        lib.preprocess_stage1.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.preprocess_stage2.restype = ctypes.c_int64
+        lib.preprocess_stage2.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
+        lib.gray_at_pixels.restype = None
+        lib.gray_at_pixels.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -99,6 +113,53 @@ def extract_fg_pixels(mask_u8, markers_u8, xs, ys, flags):
         xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(xs))
+
+
+def preprocess_stage1_only(frame, need_mean, want_stats=False):
+    """Native gray -> blur (-> adaptive mean) into thread-local buffers.
+
+    :param frame: (H, W) or (H, W, 3) uint8 C-contiguous (BGR)
+    :param want_stats: also return (sum, sum_sq) of the gray image, which the
+        mean-threshold mode needs BEFORE choosing this frame's threshold
+    :return: stats ndarray, True, or None if the library is missing
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = frame.shape[:2]
+    channels = 3 if frame.ndim == 3 else 1
+    stats = np.zeros(2, np.float64) if want_stats else None
+    lib.preprocess_stage1(
+        frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, channels,
+        1 if need_mean else 0,
+        stats.ctypes.data_as(ctypes.c_void_p) if want_stats else None)
+    return stats if want_stats else True
+
+
+def preprocess_stage2_only(mode, white, c_mask, c_marker, global_thresh,
+                           xs, ys, flags):
+    """Threshold + extraction from the thread's stage-1 buffers (mean mode)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return lib.preprocess_stage2(
+        int(mode), 1 if white else 0, float(c_mask), float(c_marker),
+        int(global_thresh),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(xs))
+
+
+def gray_at_pixels(xs, ys, n, out):
+    """Grayscale at pixels from the thread's stage-1 gray buffer."""
+    lib = _load()
+    if lib is None:
+        return None
+    lib.gray_at_pixels(
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return True
 
 
 def min_area_rect_batch(pts_xy, valid):

@@ -182,6 +182,54 @@ def _make_kernel(h, w, f, double_threshold, max_iters):
     return kernel, hp, wp
 
 
+def _label_frame_kernel(h, w, connectivity, max_iters):
+    hp, wp = _pad_dims(h, w)
+
+    def kernel(mask_ref, lab_ref):
+        mask = mask_ref[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        in_img = (row_ids < h) & (col_ids < w) & mask
+        lin = row_ids * w + col_ids  # ORIGINAL linear index (matches XLA path)
+        lab = jnp.where(in_img, lin, _SENTINEL)
+        lab = _stencil_converge(lab, connectivity, max_iters)
+        lab_ref[0] = jnp.where(in_img, lab, h * w)
+
+    return kernel, hp, wp
+
+
+@partial(jax.jit, static_argnames=('connectivity', 'max_iters', 'interpret'))
+def label_components_whole_frame(mask, connectivity=8, max_iters=64,
+                                 interpret=False):
+    """Batched connected-components labeling with the frame resident in VMEM.
+
+    Vectorised counterpart of ops.labeling.label_components (identical label
+    semantics: minimum linear index per component, h*w for background): the
+    min-label stencil iterates entirely in VMEM, so HBM traffic is one mask
+    read plus one label write per frame instead of two full label images per
+    stencil iteration.
+
+    :param mask: (T, H, W) bool
+    :return: (T, H, W) int32 labels
+    """
+    t, h, w = mask.shape
+    kernel, hp, wp = _label_frame_kernel(h, w, connectivity, max_iters)
+    mask_p = jnp.zeros((t, hp, wp), bool).at[:, :h, :w].set(mask)
+    labels = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(mask_p)
+    return labels[:, :h, :w]
+
+
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_iters',
                                    'interpret'))
 def cc_labels_at_pixels(px_x, px_y, px_valid, px_marker, *, h, w,

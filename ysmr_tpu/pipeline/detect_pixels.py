@@ -24,10 +24,12 @@ from ysmr_tpu.ops import labeling as lb
 
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
-                                   'max_bh', 'cc_iters', 'include_luminosity'))
+                                   'max_bh', 'cc_iters', 'include_luminosity',
+                                   'use_pallas'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
-                       include_luminosity=False, px_gray=None):
+                       include_luminosity=False, px_gray=None,
+                       use_pallas=False):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -85,11 +87,21 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             comp = n_comp[:, None] - 1 - comp
         return jnp.where(act, comp, f), n_comp
 
+    if use_pallas:
+        from ysmr_tpu.ops.pallas_cc import label_components_whole_frame
+
+        def cc(m, conn):
+            return label_components_whole_frame(m, connectivity=conn,
+                                                max_iters=cc_iters)
+    else:
+        def cc(m, conn):
+            return jax.vmap(lambda a: lb.label_components(
+                a, connectivity=conn, max_iters=cc_iters, jump_every=0))(m)
+
     valid_b = valid
     mask = rasterize_all(lin)
     if double_threshold:
-        lab4 = jax.vmap(lambda m: lb.label_components(
-            m, connectivity=4, max_iters=cc_iters, jump_every=0))(mask)
+        lab4 = cc(mask, 4)
         lab4_fg = gather_all(lab4, lin)
         comp4, _ = compact_ids(lab4_fg, valid_b, lin, reverse=False)
         marked = jax.vmap(lambda mk, c: jax.ops.segment_max(
@@ -102,8 +114,7 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     else:
         keep = valid_b
         lin_kept = lin
-    lab8 = jax.vmap(lambda m: lb.label_components(
-        m, connectivity=8, max_iters=cc_iters, jump_every=0))(mask)
+    lab8 = cc(mask, 8)
     lab8_fg = gather_all(lab8, lin_kept)
     comp, n_components = compact_ids(lab8_fg, keep, lin_kept, reverse=True)
     seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)

@@ -155,6 +155,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         logger.debug('Frame height: %s, width: %s', frame_height, frame_width)
 
     config = det.DetectorConfig(settings, fps_of_file)
+    import jax as _jax
+    use_pallas = bool(settings.get('use pallas kernels', True)) and \
+        _jax.default_backend() == 'tpu'
     preprocess = None
     if transfer_mode == 'pixels':
         from ysmr_tpu.io.preproc import HostPreprocessor
@@ -232,7 +235,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     cc_iters=config.cc_iters,
                     include_luminosity=config.include_luminosity,
                     px_gray=data['px_gray']
-                    if config.include_luminosity and 'px_gray' in data else None)
+                    if config.include_luminosity and 'px_gray' in data else None,
+                    use_pallas=use_pallas)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state)
