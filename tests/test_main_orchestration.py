@@ -1,0 +1,97 @@
+"""End-to-end orchestration: ysmr() over multiple files, CSV restart, xlsx."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+def _settings_for(tmp_path, video):
+    from ysmr_tpu.config import create_configs, get_configs
+    ini = str(tmp_path / 'tracking.ini')
+    create_configs(ini, open_editor=False)
+    settings = get_configs(ini)
+    settings.update({
+        'display video analysis': False,
+        'user input': False,
+        'select files': False,
+        'save video': False,
+        'verbose': False,
+        'log to file': False,
+        'minimal frame count': 30,
+        'minimal length in seconds': 2.0,
+        'limit track length to x seconds': 3.0,
+        'extreme area outliers upper end in px*px': 500,
+        'save large plots': False,
+        'save rose plot': False,
+        'save time violin plot': False,
+        'save acr violin plot': False,
+        'save length violin plot': False,
+        'save turning point violin plot': False,
+        'save speed violin plot': False,
+        'save displacement violin plot': False,
+        'save percent motile plot': False,
+        'save angle distribution plot / bins': 0,
+        'collate results csv to xlsx': True,
+        'frame batch size': 8,
+        'max detections per frame': 64,
+        'max track slots': 128,
+        'debugging': False,
+        'path to test video': video,
+    })
+    return settings
+
+
+@pytest.mark.e2e
+def test_ysmr_batch_and_csv_restart(tmp_path):
+    from tests.test_e2e_parity import make_synthetic_video
+    from ysmr_tpu.main import analyse, ysmr
+    v1 = make_synthetic_video(str(tmp_path / 'a.avi'), n_frames=60, seed=3)
+    v2 = make_synthetic_video(str(tmp_path / 'b.avi'), n_frames=60, seed=4)
+    settings = _settings_for(tmp_path, v1)
+    settings['minimal length in seconds'] = 1.0
+    settings['limit track length to x seconds'] = 1.5
+    result_folder = str(tmp_path / 'results')
+    os.makedirs(result_folder)
+    finished = ysmr(paths=[v1, v2], settings=settings,
+                    result_folder=result_folder, multiprocess=False)
+    assert finished is not None and len(finished) == 2
+    assert all(res is not None for _, res in finished)
+    # artifact names derive from the path handed to each stage (the video
+    # stem here), matching reference main.py:113-136 / track_eval.py:570-572
+    for stem in ('a', 'b'):
+        for suffix in ('_list.csv', '_selected_data.csv',
+                       '_statistics.csv', '_analysed.csv'):
+            path = os.path.join(result_folder, stem + suffix)
+            assert os.path.isfile(path), path
+        assert os.path.isfile(os.path.join(result_folder, stem + '_meta.json'))
+    assert glob.glob(os.path.join(result_folder, '*_collated_statistics.xlsx'))
+
+    # stage restart from the CSV alone (+ _meta.json sidecar): results match
+    import pandas as pd
+    first_stats = pd.read_csv(os.path.join(result_folder,
+                                           'a_statistics.csv'))
+    restart_folder = str(tmp_path / 'restart')
+    os.makedirs(restart_folder)
+    settings['collate results csv to xlsx'] = False
+    out = analyse(os.path.join(result_folder, 'a_list.csv'), settings=settings,
+                  result_folder=restart_folder, return_df=True,
+                  fps=30.0, frame_height=288, frame_width=384)
+    assert out is not None
+    restat = pd.read_csv(os.path.join(restart_folder,
+                                      'a_list_statistics.csv'))
+    assert restat.shape == first_stats.shape
+    np.testing.assert_allclose(
+        restat['Distance (µm)'].to_numpy(),
+        first_stats['Distance (µm)'].to_numpy(), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.e2e
+def test_ysmr_skips_finished_files(tmp_path):
+    from ysmr_tpu.main import analyse
+    settings = _settings_for(tmp_path, 'unused')
+    path = str(tmp_path / 'x_analysed.csv')
+    open(path, 'w').write('TRACK_ID\n0\n')
+    assert analyse(path, settings=settings,
+                   result_folder=str(tmp_path)) is None

@@ -73,7 +73,12 @@ def analyse(path, settings=None, result_folder=None, return_df=False, **kwargs):
         settings['collate results csv to xlsx'],
         settings['save video'],
     ])
-    df, fps, f_height, f_width, csv_file = [None] * 5
+    df, csv_file = None, None
+    # allow explicit metadata for .csv restarts (merged via the _meta.json
+    # sidecar; explicit kwargs win over file contents)
+    fps = kwargs.pop('fps', None)
+    f_height = kwargs.pop('frame_height', None)
+    f_width = kwargs.pop('frame_width', None)
 
     while True:  # so we can break on error
         finished_files = ['_analysed.csv', '_statistics.csv', '_annotated_output.']
