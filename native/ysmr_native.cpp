@@ -19,6 +19,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__)
+#include <immintrin.h>
+#define YSMR_AVX512 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -238,9 +243,78 @@ namespace {
 
 thread_local std::vector<uint8_t> tl_gray;
 thread_local std::vector<uint8_t> tl_blur;
-thread_local std::vector<int32_t> tl_mean;
+// adaptive mean is a convex combination of u8 values -> fits u8 exactly
+thread_local std::vector<uint8_t> tl_mean;
 thread_local std::vector<float> tl_tmpf;
 thread_local int64_t tl_h = 0, tl_w = 0;
+
+#ifdef YSMR_AVX512
+// BGR deinterleave tables: plane byte j comes from global byte 3j+c across
+// three 64-byte registers. lo covers global bytes 0..127 via
+// permutex2var(z0, ., z1); hi covers 64..191 via permutex2var(z1, ., z2)
+// (index v selects global byte 64+v); blend switches at the lane where
+// 3j+c crosses 128.
+struct DeinterleaveTables {
+    __m512i idx_lo[3], idx_hi[3];
+    __mmask64 take_hi[3];
+    DeinterleaveTables() {
+        alignas(64) uint8_t lo[64], hi[64];
+        for (int c = 0; c < 3; ++c) {
+            uint64_t k = 0;
+            for (int j = 0; j < 64; ++j) {
+                int g = 3 * j + c;
+                lo[j] = static_cast<uint8_t>(g < 128 ? g : 0);
+                hi[j] = static_cast<uint8_t>(g >= 128 ? g - 64 : 0);
+                if (g >= 128) k |= (1ull << j);
+            }
+            idx_lo[c] = _mm512_load_si512(lo);
+            idx_hi[c] = _mm512_load_si512(hi);
+            take_hi[c] = k;
+        }
+    }
+};
+
+// exact OpenCV BGR2GRAY: (B*3735 + G*19235 + R*9798 + 2^14) >> 15
+static void bgr_to_gray_avx512(const uint8_t* img, int64_t n, uint8_t* out) {
+    static const DeinterleaveTables T;
+    const __m512i wB = _mm512_set1_epi32(3735);
+    const __m512i wG = _mm512_set1_epi32(19235);
+    const __m512i wR = _mm512_set1_epi32(9798);
+    const __m512i rnd = _mm512_set1_epi32(1 << 14);
+    int64_t i = 0;
+    for (; i + 64 <= n; i += 64) {
+        const uint8_t* p = img + 3 * i;
+        __m512i z0 = _mm512_loadu_si512(p);
+        __m512i z1 = _mm512_loadu_si512(p + 64);
+        __m512i z2 = _mm512_loadu_si512(p + 128);
+        __m512i plane[3];
+        for (int c = 0; c < 3; ++c) {
+            __m512i lo = _mm512_permutex2var_epi8(z0, T.idx_lo[c], z1);
+            __m512i hi = _mm512_permutex2var_epi8(z1, T.idx_hi[c], z2);
+            plane[c] = _mm512_mask_blend_epi8(T.take_hi[c], lo, hi);
+        }
+        for (int k = 0; k < 4; ++k) {
+            __m512i b = _mm512_cvtepu8_epi32(
+                _mm512_extracti32x4_epi32(plane[0], k));
+            __m512i g = _mm512_cvtepu8_epi32(
+                _mm512_extracti32x4_epi32(plane[1], k));
+            __m512i r = _mm512_cvtepu8_epi32(
+                _mm512_extracti32x4_epi32(plane[2], k));
+            __m512i acc = _mm512_add_epi32(
+                _mm512_add_epi32(_mm512_mullo_epi32(b, wB),
+                                 _mm512_mullo_epi32(g, wG)),
+                _mm512_add_epi32(_mm512_mullo_epi32(r, wR), rnd));
+            __m128i g8 = _mm512_cvtepi32_epi8(_mm512_srli_epi32(acc, 15));
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + i + 16 * k), g8);
+        }
+    }
+    for (; i < n; ++i) {
+        const uint8_t* p = img + i * 3;
+        out[i] = static_cast<uint8_t>(
+            (p[0] * 3735 + p[1] * 19235 + p[2] * 9798 + (1 << 14)) >> 15);
+    }
+}
+#endif  // YSMR_AVX512
 
 const float kGauss11[11] = {
     0.0088122292925622882f,
@@ -270,11 +344,15 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
     tl_gray.resize(h * w);
     tl_blur.resize(h * w);
     if (channels == 3) {
+#ifdef YSMR_AVX512
+        bgr_to_gray_avx512(img, h * w, tl_gray.data());
+#else
         for (int64_t i = 0; i < h * w; ++i) {
             const uint8_t* p = img + i * 3;
             tl_gray[i] = static_cast<uint8_t>(
                 (p[0] * 3735 + p[1] * 19235 + p[2] * 9798 + (1 << 14)) >> 15);
         }
+#endif
     } else {
         std::memcpy(tl_gray.data(), img, h * w);
     }
@@ -289,28 +367,33 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
         out_stats[1] = static_cast<double>(sumsq);
     }
     // blur3: horizontal then vertical, reflect-101 borders (edge columns
-    // handled outside the vectorisable inner loop)
-    static thread_local std::vector<int32_t> tmp;
+    // handled outside the vectorisable inner loop). Horizontal accumulator
+    // fits u16 (max 255*256), halving tmp traffic vs int32.
+    static thread_local std::vector<uint16_t> tmp;
     tmp.resize(h * w);
     for (int64_t y = 0; y < h; ++y) {
         const uint8_t* row = tl_gray.data() + y * w;
-        int32_t* trow = tmp.data() + y * w;
-        trow[0] = row[1] * 64 + row[0] * 128 + row[1] * 64;
+        uint16_t* trow = tmp.data() + y * w;
+        trow[0] = static_cast<uint16_t>(row[1] * 64 + row[0] * 128 + row[1] * 64);
         for (int64_t x = 1; x < w - 1; ++x) {
-            trow[x] = row[x - 1] * 64 + row[x] * 128 + row[x + 1] * 64;
+            trow[x] = static_cast<uint16_t>(
+                row[x - 1] * 64 + row[x] * 128 + row[x + 1] * 64);
         }
-        trow[w - 1] = row[w - 2] * 64 + row[w - 1] * 128 + row[w - 2] * 64;
+        trow[w - 1] = static_cast<uint16_t>(
+            row[w - 2] * 64 + row[w - 1] * 128 + row[w - 2] * 64);
     }
     for (int64_t y = 0; y < h; ++y) {
         int64_t yu = y == 0 ? 1 : y - 1;
         int64_t yd = y == h - 1 ? h - 2 : y + 1;
-        const int32_t* ru = tmp.data() + yu * w;
-        const int32_t* rm = tmp.data() + y * w;
-        const int32_t* rd = tmp.data() + yd * w;
+        const uint16_t* ru = tmp.data() + yu * w;
+        const uint16_t* rm = tmp.data() + y * w;
+        const uint16_t* rd = tmp.data() + yd * w;
         uint8_t* out = tl_blur.data() + y * w;
         for (int64_t x = 0; x < w; ++x) {
             out[x] = static_cast<uint8_t>(
-                (ru[x] * 64 + rm[x] * 128 + rd[x] * 64 + (1 << 15)) >> 16);
+                (static_cast<uint32_t>(ru[x]) * 64 +
+                 static_cast<uint32_t>(rm[x]) * 128 +
+                 static_cast<uint32_t>(rd[x]) * 64 + (1u << 15)) >> 16);
         }
     }
     if (need_adaptive_mean) {
@@ -326,13 +409,33 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
         for (int64_t y = 0; y < h; ++y) {
             const uint8_t* row = tl_blur.data() + y * w;
             float* pr = padrow.data();
-            for (int64_t x = 0; x < w; ++x) pr[x + 5] = row[x];
+            int64_t x = 0;
+#ifdef YSMR_AVX512
+            for (; x + 16 <= w; x += 16) {
+                __m512 v = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+                    _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + x))));
+                _mm512_storeu_ps(pr + x + 5, v);
+            }
+#endif
+            for (; x < w; ++x) pr[x + 5] = row[x];
             for (int k = 0; k < 5; ++k) {
                 pr[k] = row[0];
                 pr[w + 5 + k] = row[w - 1];
             }
             float* trow = tl_tmpf.data() + y * w;
-            for (int64_t x = 0; x < w; ++x) {
+            x = 0;
+#ifdef YSMR_AVX512
+            for (; x + 16 <= w; x += 16) {
+                __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(pr + x),
+                                           _mm512_set1_ps(kGauss11[0]));
+                for (int k = 1; k < 11; ++k) {
+                    acc = _mm512_fmadd_ps(_mm512_loadu_ps(pr + x + k),
+                                          _mm512_set1_ps(kGauss11[k]), acc);
+                }
+                _mm512_storeu_ps(trow + x, acc);
+            }
+#endif
+            for (; x < w; ++x) {
                 float acc = 0.0f;
                 for (int k = 0; k < 11; ++k) acc += pr[x + k] * kGauss11[k];
                 trow[x] = acc;
@@ -346,11 +449,26 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
                 if (yy >= h) yy = h - 1;
                 rows[k] = tl_tmpf.data() + yy * w;
             }
-            int32_t* out = tl_mean.data() + y * w;
-            for (int64_t x = 0; x < w; ++x) {
+            uint8_t* out = tl_mean.data() + y * w;
+            int64_t x = 0;
+#ifdef YSMR_AVX512
+            // vcvtps2dq rounds to nearest-even — same as nearbyintf under
+            // the default rounding mode
+            for (; x + 16 <= w; x += 16) {
+                __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(rows[0] + x),
+                                           _mm512_set1_ps(kGauss11[0]));
+                for (int k = 1; k < 11; ++k) {
+                    acc = _mm512_fmadd_ps(_mm512_loadu_ps(rows[k] + x),
+                                          _mm512_set1_ps(kGauss11[k]), acc);
+                }
+                __m128i v8 = _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(acc));
+                _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x), v8);
+            }
+#endif
+            for (; x < w; ++x) {
                 float acc = 0.0f;
                 for (int k = 0; k < 11; ++k) acc += rows[k][x] * kGauss11[k];
-                out[x] = static_cast<int32_t>(nearbyintf(acc));
+                out[x] = static_cast<uint8_t>(static_cast<int32_t>(nearbyintf(acc)));
             }
         }
     }
@@ -370,9 +488,77 @@ int64_t preprocess_stage2(int mode, int white, double c_mask, double c_marker,
                              : -static_cast<int32_t>(std::floor(c_mask));
     const int32_t ik = white ? -static_cast<int32_t>(std::ceil(c_marker))
                              : -static_cast<int32_t>(std::floor(c_marker));
+#ifdef YSMR_AVX512
+    // s16 compares in mask registers; foreground is sparse, so only the
+    // set bits of each 64-pixel block pay the scalar emission cost.
+    const int32_t thr = mode == 2
+        ? static_cast<int32_t>(std::min<int64_t>(
+              std::max<int64_t>(global_thresh, -32768), 32767))
+        : im;
+    const __m512i vthr = _mm512_set1_epi16(static_cast<int16_t>(thr));
+    const __m512i vik = _mm512_set1_epi16(static_cast<int16_t>(ik));
     for (int64_t y = 0; y < h; ++y) {
         const uint8_t* b = tl_blur.data() + y * w;
-        const int32_t* m = (mode != 2) ? tl_mean.data() + y * w : nullptr;
+        const uint8_t* m = (mode != 2) ? tl_mean.data() + y * w : nullptr;
+        for (int64_t x0 = 0; x0 < w; x0 += 64) {
+            const int rem = static_cast<int>(std::min<int64_t>(64, w - x0));
+            const __mmask64 ld = rem == 64 ? ~0ull : ((1ull << rem) - 1);
+            __m512i bv = _mm512_maskz_loadu_epi8(ld, b + x0);
+            __m512i dl, dh;
+            if (mode == 2) {
+                dl = _mm512_cvtepu8_epi16(_mm512_castsi512_si256(bv));
+                dh = _mm512_cvtepu8_epi16(_mm512_extracti64x4_epi64(bv, 1));
+            } else {
+                __m512i mv = _mm512_maskz_loadu_epi8(ld, m + x0);
+                dl = _mm512_sub_epi16(
+                    _mm512_cvtepu8_epi16(_mm512_castsi512_si256(bv)),
+                    _mm512_cvtepu8_epi16(_mm512_castsi512_si256(mv)));
+                dh = _mm512_sub_epi16(
+                    _mm512_cvtepu8_epi16(_mm512_extracti64x4_epi64(bv, 1)),
+                    _mm512_cvtepu8_epi16(_mm512_extracti64x4_epi64(mv, 1)));
+            }
+            uint64_t in_mask, mk = 0;
+            if (white) {
+                in_mask = static_cast<uint64_t>(
+                              _mm512_cmpgt_epi16_mask(dl, vthr)) |
+                          (static_cast<uint64_t>(
+                               _mm512_cmpgt_epi16_mask(dh, vthr)) << 32);
+                if (mode == 1) {
+                    mk = static_cast<uint64_t>(
+                             _mm512_cmpgt_epi16_mask(dl, vik)) |
+                         (static_cast<uint64_t>(
+                              _mm512_cmpgt_epi16_mask(dh, vik)) << 32);
+                }
+            } else {
+                in_mask = static_cast<uint64_t>(
+                              _mm512_cmp_epi16_mask(dl, vthr, _MM_CMPINT_LE)) |
+                          (static_cast<uint64_t>(_mm512_cmp_epi16_mask(
+                               dh, vthr, _MM_CMPINT_LE)) << 32);
+                if (mode == 1) {
+                    mk = static_cast<uint64_t>(
+                             _mm512_cmp_epi16_mask(dl, vik, _MM_CMPINT_LE)) |
+                         (static_cast<uint64_t>(_mm512_cmp_epi16_mask(
+                              dh, vik, _MM_CMPINT_LE)) << 32);
+                }
+            }
+            in_mask &= ld;
+            while (in_mask) {
+                const int bit = __builtin_ctzll(in_mask);
+                in_mask &= in_mask - 1;
+                if (count < max_out) {
+                    xs[count] = static_cast<int16_t>(x0 + bit);
+                    ys[count] = static_cast<int16_t>(y);
+                    flags[count] = static_cast<uint8_t>((mk >> bit) & 1);
+                }
+                ++count;
+            }
+        }
+    }
+    return count;
+#else
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* b = tl_blur.data() + y * w;
+        const uint8_t* m = (mode != 2) ? tl_mean.data() + y * w : nullptr;
         for (int64_t x = 0; x < w; ++x) {
             bool in_mask, in_marker = false;
             if (mode == 2) {
@@ -396,6 +582,7 @@ int64_t preprocess_stage2(int mode, int white, double c_mask, double c_marker,
         }
     }
     return count;
+#endif
 }
 
 // Grayscale values at given pixels from the stage-1 gray buffer (luminosity).
