@@ -22,6 +22,13 @@ import time
 
 import numpy as np
 
+# Some environments pin JAX_PLATFORMS to a hardware plugin name that the
+# installed jax cannot initialise directly (e.g. the experimental axon
+# tunnel); clearing it lets jax auto-select the best available backend
+# (TPU when reachable, otherwise CPU).
+if os.environ.get('JAX_PLATFORMS') not in (None, '', 'cpu', 'tpu'):
+    os.environ['JAX_PLATFORMS'] = ''
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = os.path.join(REPO, '.bench_cache')
 W, H, FPS = 1228, 922, 30

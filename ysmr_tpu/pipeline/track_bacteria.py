@@ -25,7 +25,7 @@ from ysmr_tpu.ops import gsff as gsff_ops
 from ysmr_tpu.ops import preprocess as pp
 from ysmr_tpu.pipeline import detect as det
 from ysmr_tpu.pipeline import tracker as trk
-from ysmr_tpu.utils.csv_io import save_list, sort_list
+from ysmr_tpu.utils.csv_io import finalize_sorted_list, save_list, sort_list
 from ysmr_tpu.utils.files import create_results_folder
 from ysmr_tpu.utils.logging_utils import get_loggers
 
@@ -49,10 +49,18 @@ def probe_h2d_bandwidth():
 
 
 def resolve_transfer_mode(settings, frame_bytes):
-    """'auto' picks pixels mode when streaming frames cannot beat ~60 fps."""
+    """'auto' picks pixels mode when streaming frames cannot beat ~60 fps.
+
+    On the CPU backend host==device: streaming whole frames buys nothing and
+    the whole-frame stencil labeling is far slower than the compact-table
+    path, so 'auto' always picks pixels there.
+    """
     mode = settings.get('transfer mode', 'auto')
     if mode in ('frames', 'pixels'):
         return mode
+    import jax
+    if jax.default_backend() == 'cpu':
+        return 'pixels'
     bandwidth = probe_h2d_bandwidth()
     return 'pixels' if bandwidth < 60 * frame_bytes else 'frames'
 
@@ -112,7 +120,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     frame_bytes = probe_reader.width * probe_reader.height * 3
     transfer_mode = resolve_transfer_mode(settings, frame_bytes)
     batch_size = settings['frame batch size']
-    if transfer_mode == 'pixels' and batch_size < 64:
+    import jax as _jax_mod
+    if transfer_mode == 'pixels' and batch_size < 64 and \
+            _jax_mod.default_backend() != 'cpu':
         batch_size = 64  # amortise link latency; pixel tables are small
     logger.debug('Transfer mode: %s, batch size: %s', transfer_mode, batch_size)
 
@@ -197,14 +207,37 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     import time
     t_start = time.perf_counter()
     pending = []  # accumulated column arrays awaiting flush
+    all_parts = []  # every compacted part, kept for the in-memory final sort
     pending_rows = 0
     flush_every = settings['list save length interval']
     error_during_read = False
     frames_processed = 0
     overflow_warned = False
-    # one-batch delay on emission readback: the device->host fetch of batch
-    # N-1 overlaps the device compute of batch N (jax dispatch is async)
-    emissions_in_flight = None  # (emissions, start, frame_valid)
+    # one-batch delay on ALL device readback (emissions + detection counts):
+    # fetching immediately would block the host on the device compute of the
+    # current batch and stall the single-core decode thread; one batch later
+    # the values are long since ready and the fetch costs only the transfer
+    in_flight = None  # (emissions, start, frame_valid, n_components)
+
+    def start_async_readback(emissions, n_components):
+        for arr in (emissions['mask'], emissions['ids'], emissions['pos'],
+                    emissions['info'], n_components):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def check_overflow(n_components, frame_valid):
+        nonlocal overflow_warned
+        if overflow_warned:
+            return
+        n_comp = np.asarray(n_components)
+        if (n_comp[frame_valid] > config.max_det).any():
+            overflow_warned = True
+            logger.warning(
+                'Frame(s) with more than %s detections; extra components '
+                "dropped. Raise 'max detections per frame' in [TPU "
+                'SETTINGS].', config.max_det)
 
     def flush():
         nonlocal pending, pending_rows
@@ -216,8 +249,17 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         pending = []
         pending_rows = 0
 
+    stage_t = {'wait_batch': 0.0, 'dispatch': 0.0, 'readback': 0.0}
     try:
-        for batch in reader:
+        batches = iter(reader)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                batch = next(batches)
+            except StopIteration:
+                break
+            t1 = time.perf_counter()
+            stage_t['wait_batch'] += t1 - t0
             data = batch['frames']
             count = batch['count']
             frame_valid = np.zeros((batch_size,), bool)
@@ -240,32 +282,34 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state)
-            n_comp = np.asarray(tables['n_components'])
-            if not overflow_warned and (n_comp[:count] > config.max_det).any():
-                overflow_warned = True
-                logger.warning(
-                    'Frame(s) with more than %s detections; extra components '
-                    "dropped. Raise 'max detections per frame' in [TPU "
-                    'SETTINGS].', config.max_det)
             state, emissions = trk.run_tracker_scan(
                 state, tables['det_xy'], tables['det_info'],
                 tables['det_valid'], **tracker_kwargs)
+            start_async_readback(emissions, tables['n_components'])
+            t2 = time.perf_counter()
+            stage_t['dispatch'] += t2 - t1
             frames_processed += count
-            if emissions_in_flight is not None:
-                out = _compact_emissions(*emissions_in_flight)
+            if in_flight is not None:
+                check_overflow(in_flight[3], in_flight[2])
+                out = _compact_emissions(*in_flight[:3])
                 if out is not None:
                     pending.append(out)
+                    all_parts.append(out)
                     pending_rows += len(out['TRACK_ID'])
                     if pending_rows >= flush_every:
                         flush()
-            emissions_in_flight = (emissions, batch['start'], frame_valid)
+            in_flight = (emissions, batch['start'], frame_valid,
+                         tables['n_components'])
+            stage_t['readback'] += time.perf_counter() - t2
     except VideoReadError:
         logger.critical('Error during read with file %s', video_path)
         error_during_read = settings['stop evaluation on error']
-    if emissions_in_flight is not None and not error_during_read:
-        out = _compact_emissions(*emissions_in_flight)
+    if in_flight is not None and not error_during_read:
+        check_overflow(in_flight[3], in_flight[2])
+        out = _compact_emissions(*in_flight[:3])
         if out is not None:
             pending.append(out)
+            all_parts.append(out)
             pending_rows += len(out['TRACK_ID'])
     flush()
     if preprocess is not None and preprocess.overflowed:
@@ -294,10 +338,24 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         logger.warning('Did not track any objects. File: %s', video_path)
         return None
 
-    df_for_eval = sort_list(file_path=list_name,
-                            save_file=not settings['delete .csv file after analysis'])
+    save_sorted = not settings['delete .csv file after analysis']
+    if all_parts and not error_during_read:
+        # rows are still in memory: sort + rewrite without the CSV round-trip
+        df_for_eval = finalize_sorted_list(
+            all_parts, list_name, illumination=config.include_luminosity,
+            save_file=save_sorted)
+    else:
+        df_for_eval = sort_list(file_path=list_name, save_file=save_sorted)
     elapsed = time.perf_counter() - t_start
     analysis_fps = frames_processed / elapsed if elapsed > 0 else float('inf')
+    if (settings['verbose'] or settings.get('profile stages')) and frames_processed:
+        logger.info(
+            'Per-frame stage times: wait_batch %.2f ms, dispatch %.2f ms, '
+            'readback %.2f ms (of %.2f ms total)',
+            stage_t['wait_batch'] / frames_processed * 1e3,
+            stage_t['dispatch'] / frames_processed * 1e3,
+            stage_t['readback'] / frames_processed * 1e3,
+            elapsed / frames_processed * 1e3)
     logger.info(
         'Average frames analysed per second: %s, objects: %s, frames: %s, csv: %s',
         '{:.2f}'.format(analysis_fps).rjust(6, ' '),

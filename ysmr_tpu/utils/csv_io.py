@@ -237,6 +237,37 @@ def save_list(path, result_folder=None, coords=None, first_call=False,
     return None, None
 
 
+def finalize_sorted_list(parts, list_name, illumination=False, save_file=True):
+    """Sort accumulated column parts by [TRACK_ID, POSITION_T] and finish
+    the ``_list.csv`` artifact without re-reading it from disk.
+
+    Equivalent to ``sort_list(file_path=list_name, save_file=save_file)``
+    (reference helper_file.py:1538-1574) when the caller still holds the
+    unsorted rows in memory: the sorted CSV is rewritten with the native
+    row formatter and the typed DataFrame is built directly.
+
+    :param parts: list of column-array dicts as produced during tracking
+    :return: DataFrame with the canonical columns/dtypes, sorted
+    """
+    if not parts:
+        return None
+    arrays = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    order = np.lexsort((arrays['POSITION_T'], arrays['TRACK_ID']))
+    arrays = {k: v[order] for k, v in arrays.items()}
+    with_lum = illumination and 'ILLUMINATION' in arrays
+    if save_file:
+        text = _format_rows_numpy(
+            arrays['TRACK_ID'], arrays['POSITION_T'], arrays['POSITION_X'],
+            arrays['POSITION_Y'], arrays['WIDTH'], arrays['HEIGHT'],
+            arrays['DEGREES_ANGLE'],
+            arrays['ILLUMINATION'] if with_lum else None)
+        with open(list_name, 'w+', newline='') as file:
+            file.write((CSV_HEADER_ILLUMINATION if with_lum else CSV_HEADER) + '\n')
+            file.write(text)
+    return pd.DataFrame({k: arrays[k].astype(dt)
+                         for k, dt in DEFAULT_DTYPE.items()})
+
+
 def collate_results_csv_to_xlsx(path=None, save_path=None, csv_extension='statistics.csv'):
     """Collect all ``*statistics.csv`` under ``path`` into one .xlsx.
 
