@@ -24,6 +24,64 @@ class VideoReadError(RuntimeError):
     pass
 
 
+class MjpgAviDemuxer:
+    """Raw JPEG frame chunks from an MJPG-in-AVI file (RIFF scan).
+
+    The default decode path (cv2.VideoCapture, FFmpeg) decodes every JPEG to
+    full-resolution BGR and then the pipeline reduces it to grayscale. For
+    the default grayscale color filter that round trip is wasted work: JPEG
+    luma IS the grayscale channel. Demuxing the AVI ourselves and handing
+    each JPEG to ``cv2.imdecode(..., IMREAD_GRAYSCALE)`` lets libjpeg skip
+    the chroma IDCTs and the YCbCr->BGR->gray conversions entirely
+    (measured: 3.9 + 0.3 ms/frame -> 2.9 ms/frame at 1228x922).
+
+    Gray values differ from the exact BGR-roundtrip recipe by at most +-2
+    (systematic +-1 from the dropped double rounding); the adaptive
+    threshold modes compare src against a local mean of the same data, so
+    the shared bias cancels and detections are unchanged in practice. The
+    'exact' decode mode remains the default for bit-parity work.
+    """
+
+    def __init__(self, path):
+        import mmap
+        self.path = path
+        self._file = open(path, 'rb')
+        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        mm = self._mm
+        if mm[0:4] != b'RIFF' or mm[8:12] != b'AVI ':
+            raise VideoReadError('Not an AVI file: {}'.format(path))
+        movi = mm.find(b'movi')
+        if movi < 0:
+            raise VideoReadError('No movi list in {}'.format(path))
+        self.offsets = []  # (start, size) of each JPEG chunk
+        pos = movi + 4
+        end = len(mm)
+        while pos + 8 <= end:
+            ckid = mm[pos:pos + 4]
+            if ckid == b'idx1':
+                break
+            size = int.from_bytes(mm[pos + 4:pos + 8], 'little')
+            if ckid[2:4] in (b'dc', b'db') and size > 0:
+                self.offsets.append((pos + 8, size))
+            pos += 8 + size + (size & 1)
+
+    def __len__(self):
+        return len(self.offsets)
+
+    def read_gray(self, index):
+        """Decode frame ``index`` directly to grayscale (H, W) uint8."""
+        start, size = self.offsets[index]
+        buf = np.frombuffer(self._mm, np.uint8, count=size, offset=start)
+        return cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)
+
+    def close(self):
+        try:
+            self._mm.close()
+            self._file.close()
+        except Exception:
+            pass
+
+
 class BatchedVideoReader:
     """Iterate fixed-size (padded) frame batches from a video file.
 
@@ -34,7 +92,7 @@ class BatchedVideoReader:
     """
 
     def __init__(self, video_path, batch_size=16, prefetch=3, color_filter=None,
-                 preprocess=None):
+                 preprocess=None, decode_mode='exact'):
         self.logger = logging.getLogger('ysmr').getChild(__name__)
         self.path = video_path
         self.batch_size = batch_size
@@ -48,6 +106,29 @@ class BatchedVideoReader:
         self.fps = cap.get(cv2.CAP_PROP_FPS)
         self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fourcc = int(cap.get(cv2.CAP_PROP_FOURCC)) & 0xFFFFFFFF
+        fourcc = fourcc.to_bytes(4, 'little')
+        self._demux = None
+        # fast mode applies only on the preprocessed (grayscale) path: the
+        # frames path ships BGR to the device, so there is nothing to skip
+        if decode_mode == 'fast' and preprocess is not None and \
+                (color_filter is None or color_filter == cv2.COLOR_BGR2GRAY) \
+                and fourcc in (b'MJPG', b'mjpg'):
+            try:
+                demux = MjpgAviDemuxer(video_path)
+                if len(demux) >= self.frame_count > 0 or self.frame_count <= 0:
+                    self._demux = demux
+                    if self.frame_count <= 0:
+                        self.frame_count = len(demux)
+                else:
+                    demux.close()
+            except (VideoReadError, OSError, ValueError) as err:
+                self.logger.debug('Fast MJPG demux unavailable for %s (%s); '
+                                  'using exact decode.', video_path, err)
+        if self._demux is not None:
+            cap.release()
+            self.logger.debug('Fast MJPG grayscale decode active for %s',
+                              video_path)
         self._cap = cap
         self._queue = queue.Queue(maxsize=prefetch)
         self._thread = None
@@ -85,7 +166,12 @@ class BatchedVideoReader:
         idx = 0
         try:
             while True:
-                ret, frame = cap.read()
+                if self._demux is not None:
+                    frame = (self._demux.read_gray(idx)
+                             if idx < len(self._demux) else None)
+                    ret = frame is not None
+                else:
+                    ret, frame = cap.read()
                 if not ret:
                     break
                 if self.preprocess is None and self.color_filter is not None and \
@@ -110,7 +196,10 @@ class BatchedVideoReader:
         except Exception as exc:  # surfaced on the consumer side
             self._queue.put(('error', exc, idx, 0))
         finally:
-            cap.release()
+            if self._demux is not None:
+                self._demux.close()
+            else:
+                cap.release()
 
     def __iter__(self):
         self._thread = threading.Thread(target=self._decode_loop, daemon=True)

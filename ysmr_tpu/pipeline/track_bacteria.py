@@ -179,7 +179,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             video_path, batch_size=batch_size,
             prefetch=settings['prefetch batches'],
             color_filter=settings['color filter'],
-            preprocess=preprocess)
+            preprocess=preprocess,
+            decode_mode=settings.get('decode mode', 'exact'))
     except VideoReadError as err:
         logger.exception('Problem opening file %s: %s', video_path, err)
         return None
