@@ -103,6 +103,109 @@ def label_components(mask, connectivity=8, max_iters=64, jump_every=1):
     return lab
 
 
+@partial(jax.jit, static_argnames=('w', 'connectivity', 'max_iters'))
+def label_components_table(lin, valid, *, w, connectivity=8, max_iters=32):
+    """Component labels for a SPARSE pixel table — no whole-frame arrays.
+
+    Same label semantics as :func:`label_components` (minimum original
+    linear index per component) but O(F log F) in the foreground pixel count
+    instead of O(H*W*iters): neighbours are resolved by binary search in the
+    lin-sorted table, and min-label propagation alternates with pointer
+    jumping (label <- label[index_of(label)]) for O(log diameter)
+    convergence. This is the natural formulation for the pixels transfer
+    mode, where foreground occupies ~0.3 % of the frame.
+
+    :param lin: (F,) int32 linear indices (y*w + x), unique among valid
+    :param valid: (F,) bool
+    :param w: frame width (needed to mask x-edge wraparound)
+    :return: (F,) int32 — min linear index of the pixel's component, or
+        2**30 for invalid entries
+    """
+    f = lin.shape[0]
+    big = jnp.int32(2 ** 30)
+    lin_v = jnp.where(valid, lin, big)
+    order = jnp.argsort(lin_v)            # raster order among valid entries
+    sorted_lin = lin_v[order]
+    iota = jnp.arange(f, dtype=jnp.int32)
+
+    def lookup(values):
+        """Table index holding each (valid-label) value; self-index misses."""
+        pos = jnp.clip(jnp.searchsorted(sorted_lin, values), 0, f - 1)
+        found = sorted_lin[pos] == values
+        return pos, found
+
+    x = lin_v - (lin_v // w) * w
+    if connectivity == 8:
+        offsets = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                   (0, 1), (1, -1), (1, 0), (1, 1))
+    else:
+        offsets = ((-1, 0), (0, -1), (0, 1), (1, 0))
+    nbrs = []
+    for dy, dx in offsets:
+        ok = valid
+        if dx == -1:
+            ok = ok & (x > 0)
+        elif dx == 1:
+            ok = ok & (x < w - 1)
+        nlin = jnp.where(ok, lin_v + dy * w + dx, jnp.int32(-1))
+        pos, found = lookup(nlin)
+        nbrs.append(jnp.where(found, order[pos], iota))
+    nbr = jnp.stack(nbrs, axis=1)  # (F, K) neighbour table indices
+
+    lab0 = lin_v
+
+    def body(state):
+        lab, _, it = state
+        m = lab
+        for k in range(nbr.shape[1]):
+            m = jnp.minimum(m, lab[nbr[:, k]])
+        # pointer jump: adopt the current label of my label's own pixel
+        pos, found = lookup(m)
+        hop = jnp.where(found, lab[order[pos]], m)
+        new = jnp.where(valid, jnp.minimum(m, hop), big)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    any_fg = jnp.any(valid)
+    changed0 = any_fg | jnp.logical_not(any_fg)  # data-dependent True
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab0, changed0, jnp.int32(0)))
+    return lab
+
+
+@partial(jax.jit, static_argnames=('reverse',))
+def compact_labels_table(labels, valid, lin, reverse=True):
+    """Dense component ids for table labels, raster-rank ordered.
+
+    Counterpart of the whole-frame compaction used by the image path:
+    components are numbered by the raster position of their minimum-index
+    pixel; ``reverse=True`` flips to reverse raster order (cv2's
+    findContours enumeration, see compact_labels).
+
+    :param labels: (F,) int32 from label_components_table
+    :param valid: (F,) bool
+    :param lin: (F,) int32 original linear indices
+    :return: (comp (F,) int32 — dense id or F for invalid, n_comp scalar)
+    """
+    f = labels.shape[0]
+    big = jnp.int32(2 ** 30)
+    lin_v = jnp.where(valid, lin, big)
+    order = jnp.argsort(lin_v)
+    sorted_lin = lin_v[order]
+    roots = valid & (labels == lin)
+    n_comp = jnp.sum(roots.astype(jnp.int32))
+    roots_sorted = roots[order]
+    rank_sorted = jnp.cumsum(roots_sorted.astype(jnp.int32)) - 1
+    rank = jnp.zeros((f,), jnp.int32).at[order].set(rank_sorted)
+    pos = jnp.clip(jnp.searchsorted(sorted_lin, labels), 0, f - 1)
+    comp = rank[order[pos]]
+    if reverse:
+        comp = n_comp - 1 - comp
+    return jnp.where(valid, comp, jnp.int32(f)), n_comp
+
+
 @partial(jax.jit, static_argnames=('max_det', 'reverse'))
 def compact_labels(labels, mask, max_det, reverse=True):
     """Map root labels to dense component ids.

@@ -25,11 +25,11 @@ from ysmr_tpu.ops import labeling as lb
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
                                    'max_bh', 'cc_iters', 'include_luminosity',
-                                   'use_pallas'))
+                                   'use_pallas', 'use_table'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None,
-                       use_pallas=False):
+                       use_pallas=False, use_table=False):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -99,24 +99,48 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                 a, connectivity=conn, max_iters=cc_iters, jump_every=0))(m)
 
     valid_b = valid
-    mask = rasterize_all(lin)
-    if double_threshold:
-        lab4 = cc(mask, 4)
-        lab4_fg = gather_all(lab4, lin)
-        comp4, _ = compact_ids(lab4_fg, valid_b, lin, reverse=False)
-        marked = jax.vmap(lambda mk, c: jax.ops.segment_max(
-            mk.astype(jnp.int32), jnp.minimum(c, f), num_segments=f + 1))(
-                px_marker & valid_b, comp4)
-        keep = valid_b & (jnp.take_along_axis(
-            marked, jnp.minimum(comp4, f), axis=1) > 0)
-        lin_kept = jnp.where(keep, lin, n)
-        mask = rasterize_all(lin_kept)
+    if use_table:
+        # fully sparse path: CC + compaction on the (T, F) tables directly —
+        # no whole-frame arrays anywhere (O(F log F) instead of O(H*W*iters))
+        lin_t = jnp.where(valid_b, lin, jnp.int32(2 ** 30))
+        cc_t = partial(lb.label_components_table, w=w, max_iters=cc_iters)
+        if double_threshold:
+            lab4 = jax.vmap(partial(cc_t, connectivity=4))(lin_t, valid_b)
+            comp4, _ = jax.vmap(
+                partial(lb.compact_labels_table, reverse=False))(
+                    lab4, valid_b, lin_t)
+            marked = jax.vmap(lambda mk, c: jax.ops.segment_max(
+                mk.astype(jnp.int32), jnp.minimum(c, f), num_segments=f + 1))(
+                    px_marker & valid_b, comp4)
+            keep = valid_b & (jnp.take_along_axis(
+                marked, jnp.minimum(comp4, f), axis=1) > 0)
+        else:
+            keep = valid_b
+        lin_kept = jnp.where(keep, lin, jnp.int32(2 ** 30))
+        lab8 = jax.vmap(partial(cc_t, connectivity=8))(lin_kept, keep)
+        comp, n_components = jax.vmap(
+            partial(lb.compact_labels_table, reverse=True))(
+                lab8, keep, lin_kept)
+        comp = jnp.where(keep, comp, f)
     else:
-        keep = valid_b
-        lin_kept = lin
-    lab8 = cc(mask, 8)
-    lab8_fg = gather_all(lab8, lin_kept)
-    comp, n_components = compact_ids(lab8_fg, keep, lin_kept, reverse=True)
+        mask = rasterize_all(lin)
+        if double_threshold:
+            lab4 = cc(mask, 4)
+            lab4_fg = gather_all(lab4, lin)
+            comp4, _ = compact_ids(lab4_fg, valid_b, lin, reverse=False)
+            marked = jax.vmap(lambda mk, c: jax.ops.segment_max(
+                mk.astype(jnp.int32), jnp.minimum(c, f), num_segments=f + 1))(
+                    px_marker & valid_b, comp4)
+            keep = valid_b & (jnp.take_along_axis(
+                marked, jnp.minimum(comp4, f), axis=1) > 0)
+            lin_kept = jnp.where(keep, lin, n)
+            mask = rasterize_all(lin_kept)
+        else:
+            keep = valid_b
+            lin_kept = lin
+        lab8 = cc(mask, 8)
+        lab8_fg = gather_all(lab8, lin_kept)
+        comp, n_components = compact_ids(lab8_fg, keep, lin_kept, reverse=True)
     seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
     gray_in = px_gray.astype(jnp.int32) if px_gray is not None \
         else jnp.zeros_like(px_x)

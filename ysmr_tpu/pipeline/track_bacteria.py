@@ -168,6 +168,11 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     import jax as _jax
     use_pallas = bool(settings.get('use pallas kernels', True)) and \
         _jax.default_backend() == 'tpu'
+    # sparse table CC (ops/labeling.label_components_table) is opt-in: it
+    # loses to the whole-frame stencil in end-to-end runs on both backends
+    # (XLA-CPU pays heavy allocator churn in the vmapped gather loops; TPU
+    # gathers are ~20x slower than the Pallas VMEM stencil)
+    use_table_cc = bool(settings.get('use table cc', False))
     preprocess = None
     if transfer_mode == 'pixels':
         from ysmr_tpu.io.preproc import HostPreprocessor
@@ -279,7 +284,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     include_luminosity=config.include_luminosity,
                     px_gray=data['px_gray']
                     if config.include_luminosity and 'px_gray' in data else None,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, use_table=use_table_cc)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state)
