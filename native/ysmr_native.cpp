@@ -245,7 +245,6 @@ thread_local std::vector<uint8_t> tl_gray;
 thread_local std::vector<uint8_t> tl_blur;
 // adaptive mean is a convex combination of u8 values -> fits u8 exactly
 thread_local std::vector<uint8_t> tl_mean;
-thread_local std::vector<float> tl_tmpf;
 thread_local int64_t tl_h = 0, tl_w = 0;
 
 #ifdef YSMR_AVX512
@@ -366,48 +365,58 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
         out_stats[0] = static_cast<double>(total);
         out_stats[1] = static_cast<double>(sumsq);
     }
-    // blur3: horizontal then vertical, reflect-101 borders (edge columns
-    // handled outside the vectorisable inner loop). Horizontal accumulator
-    // fits u16 (max 255*256), halving tmp traffic vs int32.
-    static thread_local std::vector<uint16_t> tmp;
-    tmp.resize(h * w);
-    for (int64_t y = 0; y < h; ++y) {
-        const uint8_t* row = tl_gray.data() + y * w;
-        uint16_t* trow = tmp.data() + y * w;
-        trow[0] = static_cast<uint16_t>(row[1] * 64 + row[0] * 128 + row[1] * 64);
-        for (int64_t x = 1; x < w - 1; ++x) {
-            trow[x] = static_cast<uint16_t>(
-                row[x - 1] * 64 + row[x] * 128 + row[x + 1] * 64);
-        }
-        trow[w - 1] = static_cast<uint16_t>(
-            row[w - 2] * 64 + row[w - 1] * 128 + row[w - 2] * 64);
-    }
-    for (int64_t y = 0; y < h; ++y) {
-        int64_t yu = y == 0 ? 1 : y - 1;
-        int64_t yd = y == h - 1 ? h - 2 : y + 1;
-        const uint16_t* ru = tmp.data() + yu * w;
-        const uint16_t* rm = tmp.data() + y * w;
-        const uint16_t* rd = tmp.data() + yd * w;
-        uint8_t* out = tl_blur.data() + y * w;
-        for (int64_t x = 0; x < w; ++x) {
-            out[x] = static_cast<uint8_t>(
-                (static_cast<uint32_t>(ru[x]) * 64 +
-                 static_cast<uint32_t>(rm[x]) * 128 +
-                 static_cast<uint32_t>(rd[x]) * 64 + (1u << 15)) >> 16);
+    // blur3: separable [64,128,64], reflect-101 borders. Horizontal u16
+    // accumulator rows (max 255*256 fits u16) live in a 3-row ring so the
+    // full-image tmp plane (and its DRAM round trip) disappears.
+    {
+        static thread_local std::vector<uint16_t> ring3;
+        ring3.resize(3 * w);
+        auto hpass = [&](int64_t y, uint16_t* trow) {
+            const uint8_t* row = tl_gray.data() + y * w;
+            trow[0] = static_cast<uint16_t>(
+                row[1] * 64 + row[0] * 128 + row[1] * 64);
+            for (int64_t x = 1; x < w - 1; ++x) {
+                trow[x] = static_cast<uint16_t>(
+                    row[x - 1] * 64 + row[x] * 128 + row[x + 1] * 64);
+            }
+            trow[w - 1] = static_cast<uint16_t>(
+                row[w - 2] * 64 + row[w - 1] * 128 + row[w - 2] * 64);
+        };
+        auto slot = [&](int64_t y) { return ring3.data() + (y % 3) * w; };
+        hpass(0, slot(0));
+        if (h > 1) hpass(1, slot(1));
+        for (int64_t y = 0; y < h; ++y) {
+            int64_t yu = y == 0 ? 1 : y - 1;
+            int64_t yd = y == h - 1 ? h - 2 : y + 1;
+            if (yd == y + 1 && y + 1 >= 2) hpass(y + 1, slot(y + 1));
+            const uint16_t* ru = slot(yu);
+            const uint16_t* rm = slot(y);
+            const uint16_t* rd = slot(yd);
+            uint8_t* out = tl_blur.data() + y * w;
+            for (int64_t x = 0; x < w; ++x) {
+                out[x] = static_cast<uint8_t>(
+                    (static_cast<uint32_t>(ru[x]) * 64 +
+                     static_cast<uint32_t>(rm[x]) * 128 +
+                     static_cast<uint32_t>(rd[x]) * 64 + (1u << 15)) >> 16);
+            }
         }
     }
     if (need_adaptive_mean) {
         // float32 separable 11-tap on the blurred image (the reference
         // thresholds the blurred image and computes the adaptive mean from
-        // it, track_eval.py:189-208). Rows are expanded into a
-        // replicate-padded float buffer so the inner loops are branch-free
-        // and auto-vectorise.
+        // it, track_eval.py:189-208). Horizontal rows are expanded into
+        // replicate-padded float buffers held in an 11-row ring, so the
+        // full-image f32 tmp plane never round-trips DRAM; the vertical
+        // pass consumes the ring directly (replicate border = clamped row
+        // index, always among the last 11 computed rows).
         tl_mean.resize(h * w);
-        tl_tmpf.resize(h * w);
-        static thread_local std::vector<float> padrow;
-        padrow.resize(w + 10);
-        for (int64_t y = 0; y < h; ++y) {
+        static thread_local std::vector<float> ring11;
+        ring11.resize(11 * w);
+
+        auto hpass = [&](int64_t y, float* trow) {
             const uint8_t* row = tl_blur.data() + y * w;
+            static thread_local std::vector<float> padrow;
+            padrow.resize(w + 10);
             float* pr = padrow.data();
             int64_t x = 0;
 #ifdef YSMR_AVX512
@@ -422,7 +431,6 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
                 pr[k] = row[0];
                 pr[w + 5 + k] = row[w - 1];
             }
-            float* trow = tl_tmpf.data() + y * w;
             x = 0;
 #ifdef YSMR_AVX512
             for (; x + 16 <= w; x += 16) {
@@ -440,14 +448,20 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
                 for (int k = 0; k < 11; ++k) acc += pr[x + k] * kGauss11[k];
                 trow[x] = acc;
             }
+        };
+        auto slot = [&](int64_t y) { return ring11.data() + (y % 11) * w; };
+
+        for (int64_t y = 0; y < std::min<int64_t>(6, h); ++y) {
+            hpass(y, slot(y));
         }
         for (int64_t y = 0; y < h; ++y) {
+            if (y + 5 < h && y + 5 >= 6) hpass(y + 5, slot(y + 5));
             const float* rows[11];
             for (int k = 0; k < 11; ++k) {
                 int64_t yy = y + k - 5;
                 if (yy < 0) yy = 0;
                 if (yy >= h) yy = h - 1;
-                rows[k] = tl_tmpf.data() + yy * w;
+                rows[k] = slot(yy);
             }
             uint8_t* out = tl_mean.data() + y * w;
             int64_t x = 0;
