@@ -125,7 +125,68 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=3):
     return best
 
 
+def measure_dense():
+    """Dense-scene stretch (BASELINE config 5, single-chip slice): ~3.5k
+    simultaneous objects per 1228x922 frame, 16k track slots. Prints steady
+    detect+track throughput; the reference's per-contour Python loop is
+    impractical at this density, so no vs_baseline is reported."""
+    import jax
+    from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
+    from ysmr_tpu.pipeline import tracker as trk
+
+    b, f, n_obj = 16, 131072, 4000
+    rng = np.random.default_rng(0)
+    cx = rng.uniform(10, W - 10, n_obj)
+    cy = rng.uniform(10, H - 10, n_obj)
+    vx = rng.uniform(-1, 1, n_obj)
+    vy = rng.uniform(-1, 1, n_obj)
+    gx, gy = np.meshgrid(np.arange(5), np.arange(3))
+    px_x = np.zeros((b, f), np.int16)
+    px_y = np.zeros((b, f), np.int16)
+    counts = np.zeros(b, np.int32)
+    for t in range(b):
+        xs = (cx[:, None] + vx[:, None] * t +
+              gx.ravel()[None, :]).astype(np.int32) % W
+        ys = (cy[:, None] + vy[:, None] * t +
+              gy.ravel()[None, :]).astype(np.int32) % H
+        lin = np.unique(ys * W + xs)
+        n = min(len(lin), f)
+        px_x[t, :n] = (lin[:n] % W).astype(np.int16)
+        px_y[t, :n] = (lin[:n] // W).astype(np.int16)
+        counts[t] = n
+    marker = np.ones((b, f), np.uint8)
+    fv = np.ones(b, bool)
+    kw = dict(h=H, w=W, double_threshold=True, max_det=8192, max_bh=16,
+              cc_iters=32, include_luminosity=False, px_gray=None,
+              use_pallas=jax.default_backend() == 'tpu')
+    state = trk.init_tracker_state(16384, dims=2, use_gsff=False)
+
+    def step():
+        out = detect_from_pixels(px_x, px_y, counts, marker, fv, **kw)
+        s2, em = trk.run_tracker_scan(state, out['det_xy'], out['det_info'],
+                                      out['det_valid'], max_disappeared=30.0,
+                                      use_gsff=False)
+        return float(np.asarray(em['mask']).sum()), np.asarray(out['n_components'])
+
+    _, n_comp = step()  # compile
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        step()
+        best = max(best, b / (time.perf_counter() - t0))
+    print(json.dumps({
+        'metric': 'dense_scene_fps_1228x922_{}obj_16k_slots'.format(
+            int(n_comp[0])),
+        'value': round(best, 2),
+        'unit': 'frames/s',
+        'vs_baseline': None,
+    }))
+
+
 def main():
+    if '--dense' in sys.argv:
+        measure_dense()
+        return
     os.makedirs(CACHE_DIR, exist_ok=True)
     clip = os.path.join(CACHE_DIR, 'bench_clip.avi')
     warmup_clip = os.path.join(CACHE_DIR, 'warmup_clip.avi')
