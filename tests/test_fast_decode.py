@@ -85,6 +85,30 @@ def test_fast_mode_same_tracks_as_exact(tmp_path):
                                atol=0.25)
 
 
+def test_fast_mode_falls_back_for_truncated_avi(tmp_path):
+    """A file with fewer readable chunks than the header claims is refused
+    by the demuxer gate and decoded via the exact path instead."""
+    from ysmr_tpu.io.video import BatchedVideoReader
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=24)
+    data = open(video, 'rb').read()
+    cut = str(tmp_path / 'cut.avi')
+    open(cut, 'wb').write(data[:int(len(data) * 0.6)])
+    reader = BatchedVideoReader(cut, batch_size=4, preprocess=lambda f: {
+        'count': 0, 'px_x': np.zeros(4, np.int16)}, decode_mode='fast')
+    # either the demuxer found every frame the (truncated) header claims,
+    # or it is disabled — never a crash, never silently short reads
+    if reader._demux is not None:
+        assert len(reader._demux) >= reader.frame_count
+
+
+def test_demuxer_rejects_non_avi(tmp_path):
+    from ysmr_tpu.io.video import MjpgAviDemuxer, VideoReadError
+    bad = str(tmp_path / 'not.avi')
+    open(bad, 'wb').write(b'RIFF....WAVEdata' + b'\0' * 64)
+    with pytest.raises(VideoReadError):
+        MjpgAviDemuxer(bad)
+
+
 def test_fast_mode_falls_back_for_non_mjpg(tmp_path):
     """Non-MJPG input silently uses the exact decoder."""
     import cv2
