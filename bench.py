@@ -141,8 +141,7 @@ def measure_dense():
     vx = rng.uniform(-1, 1, n_obj)
     vy = rng.uniform(-1, 1, n_obj)
     gx, gy = np.meshgrid(np.arange(5), np.arange(3))
-    px_x = np.zeros((b, f), np.int16)
-    px_y = np.zeros((b, f), np.int16)
+    packed = np.zeros((b, f), np.uint32)  # packed wire: lin | marker<<31
     counts = np.zeros(b, np.int32)
     for t in range(b):
         xs = (cx[:, None] + vx[:, None] * t +
@@ -151,10 +150,8 @@ def measure_dense():
               gy.ravel()[None, :]).astype(np.int32) % H
         lin = np.unique(ys * W + xs)
         n = min(len(lin), f)
-        px_x[t, :n] = (lin[:n] % W).astype(np.int16)
-        px_y[t, :n] = (lin[:n] // W).astype(np.int16)
+        packed[t, :n] = lin[:n].astype(np.uint32) | np.uint32(1 << 31)
         counts[t] = n
-    marker = np.ones((b, f), np.uint8)
     fv = np.ones(b, bool)
     kw = dict(h=H, w=W, double_threshold=True, max_det=8192, max_bh=16,
               cc_iters=32, include_luminosity=False, px_gray=None,
@@ -162,7 +159,8 @@ def measure_dense():
     state = trk.init_tracker_state(16384, dims=2, use_gsff=False)
 
     def step():
-        out = detect_from_pixels(px_x, px_y, counts, marker, fv, **kw)
+        out = detect_from_pixels(None, None, counts, None, fv,
+                                 px_packed=packed, **kw)
         s2, em = trk.run_tracker_scan(state, out['det_xy'], out['det_info'],
                                       out['det_valid'], max_disappeared=30.0,
                                       use_gsff=False)

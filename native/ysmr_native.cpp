@@ -599,6 +599,33 @@ int64_t preprocess_stage2(int mode, int white, double c_mask, double c_marker,
 #endif
 }
 
+// Packed-wire variant of stage 2: one uint32 per foreground pixel,
+// bits 0..30 = linear index (y*w + x), bit 31 = marker membership.
+// Halves nothing on its own vs (x16,y16,m8) — it saves 20 % of the wire
+// and collapses three arrays into one for stacking/transfer.
+int64_t preprocess_stage2_packed(int mode, int white, double c_mask,
+                                 double c_marker, int64_t global_thresh,
+                                 uint32_t* out, int64_t max_out) {
+    const int64_t h = tl_h, w = tl_w;
+    static thread_local std::vector<int16_t> xs_v, ys_v;
+    static thread_local std::vector<uint8_t> fl_v;
+    if (static_cast<int64_t>(xs_v.size()) < max_out) {
+        xs_v.resize(max_out);
+        ys_v.resize(max_out);
+        fl_v.resize(max_out);
+    }
+    int64_t count = preprocess_stage2(mode, white, c_mask, c_marker,
+                                      global_thresh, xs_v.data(), ys_v.data(),
+                                      fl_v.data(), max_out);
+    const int64_t n = std::min(count, max_out);
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = static_cast<uint32_t>(
+                     static_cast<int64_t>(ys_v[i]) * w + xs_v[i]) |
+                 (fl_v[i] ? 0x80000000u : 0u);
+    }
+    return count;
+}
+
 // Grayscale values at given pixels from the stage-1 gray buffer (luminosity).
 void gray_at_pixels(const int16_t* xs, const int16_t* ys, int64_t n,
                     int16_t* out) {

@@ -48,11 +48,11 @@ def test_pixels_equals_frames(rng, mode_val):
 
     prep = HostPreprocessor(settings, 30.0, max_fg=4096)
     batches = [prep(f) for f in frames]
-    px_x = np.stack([b['px_x'] for b in batches])        # int16 wire format
-    px_y = np.stack([b['px_y'] for b in batches])
-    flags = np.stack([b['px_marker'] for b in batches])  # uint8
+    # native preprocessor emits the packed uint32 wire format
+    packed = np.stack([b['px_packed'] for b in batches])
     counts = np.array([b['count'] for b in batches], np.int32)
-    got = detect_from_pixels(px_x, px_y, counts, flags, frame_valid,
+    got = detect_from_pixels(None, None, counts, None, frame_valid,
+                             px_packed=packed,
                              h=h, w=w, double_threshold=(config.mode == 'adaptive_double'),
                              max_det=config.max_det, max_bh=config.max_bh,
                              cc_iters=config.cc_iters)

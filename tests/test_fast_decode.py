@@ -58,7 +58,9 @@ def test_fast_mode_reader_yields_gray_tables(tmp_path):
     total = 0
     for batch in reader:
         total += batch['count']
-        assert batch['frames']['px_x'].shape == (8, 4096)
+        frames = batch['frames']
+        key = 'px_packed' if 'px_packed' in frames else 'px_x'
+        assert frames[key].shape == (8, 4096)
     assert total == 16
 
 

@@ -41,12 +41,13 @@ class HostPreprocessor:
         self.overflowed = 0
 
     def _call_native(self, frame):
-        """Single native pass: gray/blur/threshold/extraction in C++."""
-        import cv2 as _cv2
+        """Single native pass: gray/blur/threshold/extraction in C++.
+
+        Emits the packed uint32 wire format (lin | marker<<31) unless
+        luminosity is on (that path needs the split coordinates host-side
+        for the gray gather anyway).
+        """
         frame = np.ascontiguousarray(frame)
-        xs = np.empty(self.max_fg, np.int16)
-        ys = np.empty(self.max_fg, np.int16)
-        flags = np.zeros(self.max_fg, np.uint8)
         if self.mode == 'mean':
             stats = native.preprocess_stage1_only(frame, need_mean=False,
                                                   want_stats=True)
@@ -54,22 +55,30 @@ class HostPreprocessor:
             mean = stats[0] / n_px
             std = float(np.sqrt(max(stats[1] / n_px - mean * mean, 0.0)))
             thr = self.threshold_state.update(mean, std)
-            count = native.preprocess_stage2_only(2, self.white_on_dark, 0.0,
-                                                  0.0, thr, xs, ys, flags)
+            s2_args = (2, self.white_on_dark, 0.0, 0.0, thr)
         else:
             mode_id = 1 if self.mode == 'adaptive_double' else 0
             native.preprocess_stage1_only(frame, need_mean=True)
-            count = native.preprocess_stage2_only(
-                mode_id, self.white_on_dark, -float(self.offset),
-                -float(self.offset + self.double_delta), 0, xs, ys, flags)
+            s2_args = (mode_id, self.white_on_dark, -float(self.offset),
+                       -float(self.offset + self.double_delta), 0)
+        if not self.include_luminosity:
+            packed = np.zeros(self.max_fg, np.uint32)
+            count = native.preprocess_stage2_packed(*s2_args, packed)
+            if count > self.max_fg:
+                self.overflowed += 1
+                count = self.max_fg
+            return {'px_packed': packed, 'count': count}
+        xs = np.empty(self.max_fg, np.int16)
+        ys = np.empty(self.max_fg, np.int16)
+        flags = np.zeros(self.max_fg, np.uint8)
+        count = native.preprocess_stage2_only(*s2_args, xs, ys, flags)
         if count > self.max_fg:
             self.overflowed += 1
             count = self.max_fg
         out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
-        if self.include_luminosity:
-            g = np.zeros(self.max_fg, np.int16)
-            native.gray_at_pixels(xs, ys, count, g)
-            out['px_gray'] = g
+        g = np.zeros(self.max_fg, np.int16)
+        native.gray_at_pixels(xs, ys, count, g)
+        out['px_gray'] = g
         return out
 
     def __call__(self, frame_bgr):

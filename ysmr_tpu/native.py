@@ -52,6 +52,10 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64]
+        lib.preprocess_stage2_packed.restype = ctypes.c_int64
+        lib.preprocess_stage2_packed.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
         lib.gray_at_pixels.restype = None
         lib.gray_at_pixels.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
@@ -148,6 +152,19 @@ def preprocess_stage2_only(mode, white, c_mask, c_marker, global_thresh,
         xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(xs))
+
+
+def preprocess_stage2_packed(mode, white, c_mask, c_marker, global_thresh,
+                             packed):
+    """Threshold + extraction into a packed uint32 wire buffer
+    (bits 0..30 = linear index, bit 31 = marker)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return lib.preprocess_stage2_packed(
+        int(mode), 1 if white else 0, float(c_mask), float(c_marker),
+        int(global_thresh),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(packed))
 
 
 def gray_at_pixels(xs, ys, n, out):

@@ -29,29 +29,43 @@ from ysmr_tpu.ops import labeling as lb
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None,
-                       use_pallas=False, use_table=False):
+                       use_pallas=False, use_table=False, px_packed=None):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
     uint8 markers, per-frame counts) and are widened on device — over a slow
     host-device link the transfer size is the throughput bound.
 
-    :param px_x, px_y: (T, F) int16/int32 pixel coordinates (raster order)
+    :param px_x, px_y: (T, F) int16/int32 pixel coordinates (raster order);
+        may be None when ``px_packed`` is given
     :param px_counts: (T,) int32 number of valid pixels per frame
-    :param px_marker: (T, F) bool/uint8 — stricter-threshold membership
+    :param px_marker: (T, F) bool/uint8 — stricter-threshold membership;
+        may be None when ``px_packed`` is given
     :param frame_valid: (T,) bool
     :param px_gray: optional (T, F) int grayscale at the pixels (luminosity)
+    :param px_packed: optional (T, F) uint32 packed wire format
+        (bits 0..30 = y*w + x, bit 31 = marker) replacing px_x/px_y/px_marker
+        — 20 % less host-device traffic
     :return: dict with det_xy (T, D, K), det_info (T, D, 3), det_valid (T, D),
         n_components (T,)
     """
-    t, f = px_x.shape
     n = h * w
-    px_x = px_x.astype(jnp.int32)
-    px_y = px_y.astype(jnp.int32)
-    px_marker = px_marker.astype(jnp.int32) > 0
+    if px_packed is not None:
+        t, f = px_packed.shape
+        packed = px_packed.astype(jnp.uint32)
+        lin_raw = (packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        px_marker = (packed >> 31) > 0
+        px_x = lin_raw % w
+        px_y = lin_raw // w
+    else:
+        t, f = px_x.shape
+        px_x = px_x.astype(jnp.int32)
+        px_y = px_y.astype(jnp.int32)
+        px_marker = px_marker.astype(jnp.int32) > 0
+        lin_raw = px_y * w + px_x
     px_valid = jnp.arange(f, dtype=jnp.int32)[None, :] < px_counts[:, None]
     valid = px_valid & frame_valid[:, None]
-    lin = jnp.where(valid, px_y * w + px_x, n)
+    lin = jnp.where(valid, lin_raw, n)
 
     t_off = jnp.arange(t, dtype=jnp.int32)[:, None] * (n + 1)
     # out-of-range (dropped) yet unique indices for invalid entries, so the

@@ -275,8 +275,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 # ship the compact wire format (int16/uint8); widening and
                 # validity masks happen on device
                 tables = detect_from_pixels(
-                    data['px_x'], data['px_y'], data['count'],
-                    data['px_marker'], frame_valid,
+                    data.get('px_x'), data.get('px_y'), data['count'],
+                    data.get('px_marker'), frame_valid,
+                    px_packed=data.get('px_packed'),
                     h=frame_height, w=frame_width,
                     double_threshold=(config.mode == 'adaptive_double'),
                     max_det=config.max_det, max_bh=config.max_bh,
