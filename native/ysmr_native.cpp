@@ -24,6 +24,21 @@
 #define YSMR_AVX512 1
 #endif
 
+#ifdef YSMR_WITH_JPEG
+#include <csetjmp>
+#include <jpeglib.h>
+
+namespace {
+struct JpegErrorMgr {
+    jpeg_error_mgr pub;
+    jmp_buf setjmp_buffer;
+};
+void ysmr_jpeg_error_exit(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->setjmp_buffer, 1);
+}
+}  // namespace
+#endif  // YSMR_WITH_JPEG
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -331,30 +346,11 @@ const float kGauss11[11] = {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Stage 1: BGR (or gray) -> gray -> blur3 (+ adaptive mean when needed).
-// Returns gray integer sums for meanStdDev parity via out_stats[0..2]:
-// sum, sum of squares (as double) when out_stats != nullptr.
-void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
-                       int channels, int need_adaptive_mean,
-                       double* out_stats) {
-    tl_h = h; tl_w = w;
-    tl_gray.resize(h * w);
-    tl_blur.resize(h * w);
-    if (channels == 3) {
-#ifdef YSMR_AVX512
-        bgr_to_gray_avx512(img, h * w, tl_gray.data());
-#else
-        for (int64_t i = 0; i < h * w; ++i) {
-            const uint8_t* p = img + i * 3;
-            tl_gray[i] = static_cast<uint8_t>(
-                (p[0] * 3735 + p[1] * 19235 + p[2] * 9798 + (1 << 14)) >> 15);
-        }
-#endif
-    } else {
-        std::memcpy(tl_gray.data(), img, h * w);
-    }
+// blur3 (+ adaptive mean) from the already-filled tl_gray buffer.
+void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
+                      double* out_stats) {
     if (out_stats != nullptr) {
         int64_t total = 0;
         int64_t sumsq = 0;
@@ -487,6 +483,77 @@ void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
         }
     }
 }
+
+}  // namespace
+
+extern "C" {
+
+// Stage 1: BGR (or gray) -> gray -> blur3 (+ adaptive mean when needed).
+// Returns gray integer sums for meanStdDev parity via out_stats[0..1]:
+// sum, sum of squares (as double) when out_stats != nullptr.
+void preprocess_stage1(const uint8_t* img, int64_t h, int64_t w,
+                       int channels, int need_adaptive_mean,
+                       double* out_stats) {
+    tl_h = h; tl_w = w;
+    tl_gray.resize(h * w);
+    tl_blur.resize(h * w);
+    if (channels == 3) {
+#ifdef YSMR_AVX512
+        bgr_to_gray_avx512(img, h * w, tl_gray.data());
+#else
+        for (int64_t i = 0; i < h * w; ++i) {
+            const uint8_t* p = img + i * 3;
+            tl_gray[i] = static_cast<uint8_t>(
+                (p[0] * 3735 + p[1] * 19235 + p[2] * 9798 + (1 << 14)) >> 15);
+        }
+#endif
+    } else {
+        std::memcpy(tl_gray.data(), img, h * w);
+    }
+    stage1_from_gray(h, w, need_adaptive_mean, out_stats);
+}
+
+#ifdef YSMR_WITH_JPEG
+// Fused JPEG decode (grayscale) + stage 1: libjpeg decodes luma scanlines
+// straight into the thread's gray buffer — no intermediate image object,
+// no extra copies. Returns 0 on success, writing the frame dims to
+// out_dims[0..1]; nonzero on decode failure (caller falls back to the
+// cv2 path). The JPEG must carry its Huffman tables (cv2/FFmpeg MJPG
+// writers do; some camera MJPG streams omit them — those fall back).
+int64_t decode_jpeg_gray_stage1(const uint8_t* jpg, int64_t len,
+                                int need_adaptive_mean, double* out_stats,
+                                int64_t* out_dims) {
+    jpeg_decompress_struct cinfo;
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = ysmr_jpeg_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, jpg, static_cast<unsigned long>(len));
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_GRAYSCALE;
+    jpeg_start_decompress(&cinfo);
+    const int64_t h = cinfo.output_height;
+    const int64_t w = cinfo.output_width;
+    tl_h = h; tl_w = w;
+    tl_gray.resize(h * w);
+    tl_blur.resize(h * w);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = tl_gray.data() +
+                       static_cast<int64_t>(cinfo.output_scanline) * w;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    out_dims[0] = h;
+    out_dims[1] = w;
+    stage1_from_gray(h, w, need_adaptive_mean, out_stats);
+    return 0;
+}
+#endif  // YSMR_WITH_JPEG
 
 // Stage 2: threshold + foreground extraction from the stage-1 buffers.
 // mode: 0 = single adaptive, 1 = adaptive double, 2 = global (mean) threshold

@@ -48,17 +48,24 @@ class HostPreprocessor:
         for the gray gather anyway).
         """
         frame = np.ascontiguousarray(frame)
+        h, w = frame.shape[:2]
         if self.mode == 'mean':
             stats = native.preprocess_stage1_only(frame, need_mean=False,
                                                   want_stats=True)
-            n_px = frame.shape[0] * frame.shape[1]
-            mean = stats[0] / n_px
-            std = float(np.sqrt(max(stats[1] / n_px - mean * mean, 0.0)))
+            return self._stage2_tables(h, w, mean_stats=stats)
+        native.preprocess_stage1_only(frame, need_mean=True)
+        return self._stage2_tables(h, w)
+
+    def _stage2_tables(self, h, w, mean_stats=None):
+        """Threshold + extraction from the thread's filled stage-1 buffers."""
+        if self.mode == 'mean':
+            n_px = h * w
+            mean = mean_stats[0] / n_px
+            std = float(np.sqrt(max(mean_stats[1] / n_px - mean * mean, 0.0)))
             thr = self.threshold_state.update(mean, std)
             s2_args = (2, self.white_on_dark, 0.0, 0.0, thr)
         else:
             mode_id = 1 if self.mode == 'adaptive_double' else 0
-            native.preprocess_stage1_only(frame, need_mean=True)
             s2_args = (mode_id, self.white_on_dark, -float(self.offset),
                        -float(self.offset + self.double_delta), 0)
         if not self.include_luminosity:
@@ -80,6 +87,27 @@ class HostPreprocessor:
         native.gray_at_pixels(xs, ys, count, g)
         out['px_gray'] = g
         return out
+
+    def process_jpeg(self, jpg_buf):
+        """Fused native JPEG-grayscale decode + preprocessing.
+
+        Used by the fast decode mode: libjpeg writes luma scanlines straight
+        into the native gray buffer, skipping the intermediate image object.
+        Returns None when the native jpeg path is unavailable or the frame
+        fails to decode (caller falls back to cv2.imdecode + __call__).
+        """
+        if self.mode == 'mean':
+            res = native.decode_jpeg_gray_stage1(jpg_buf, need_mean=False,
+                                                 want_stats=True)
+            if res is None:
+                return None
+            (h, w), stats = res
+            return self._stage2_tables(h, w, mean_stats=stats)
+        res = native.decode_jpeg_gray_stage1(jpg_buf, need_mean=True)
+        if res is None:
+            return None
+        h, w = res
+        return self._stage2_tables(h, w)
 
     def __call__(self, frame_bgr):
         """frame -> dict of px_x, px_y, px_marker, px_gray, count."""

@@ -68,11 +68,14 @@ class MjpgAviDemuxer:
     def __len__(self):
         return len(self.offsets)
 
+    def chunk(self, index):
+        """Raw JPEG bytes of frame ``index`` (zero-copy mmap view)."""
+        start, size = self.offsets[index]
+        return np.frombuffer(self._mm, np.uint8, count=size, offset=start)
+
     def read_gray(self, index):
         """Decode frame ``index`` directly to grayscale (H, W) uint8."""
-        start, size = self.offsets[index]
-        buf = np.frombuffer(self._mm, np.uint8, count=size, offset=start)
-        return cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)
+        return cv2.imdecode(self.chunk(index), cv2.IMREAD_GRAYSCALE)
 
     def close(self):
         try:
@@ -164,11 +167,31 @@ class BatchedVideoReader:
         batch = []
         start = 0
         idx = 0
+        # fused native decode+preprocess: libjpeg writes luma straight into
+        # the C++ preprocessing buffers (no intermediate image object)
+        fused = (self._demux is not None and self.preprocess is not None and
+                 callable(getattr(self.preprocess, 'process_jpeg', None)))
         try:
             while True:
                 if self._demux is not None:
-                    frame = (self._demux.read_gray(idx)
-                             if idx < len(self._demux) else None)
+                    if idx >= len(self._demux):
+                        break
+                    if fused:
+                        entry = self.preprocess.process_jpeg(
+                            self._demux.chunk(idx))
+                        if entry is not None:
+                            batch.append(entry)
+                            idx += 1
+                            if len(batch) == self.batch_size:
+                                self._queue.put(('batch',
+                                                 self._stack_batch(batch),
+                                                 start, len(batch)))
+                                batch = []
+                                start = idx
+                            continue
+                        # native jpeg path unavailable for this frame:
+                        # fall through to cv2.imdecode
+                    frame = self._demux.read_gray(idx)
                     ret = frame is not None
                 else:
                     ret, frame = cap.read()

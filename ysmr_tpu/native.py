@@ -52,6 +52,13 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64]
+        try:
+            lib.decode_jpeg_gray_stage1.restype = ctypes.c_int64
+            lib.decode_jpeg_gray_stage1.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+        except AttributeError:  # built without libjpeg
+            pass
         lib.preprocess_stage2_packed.restype = ctypes.c_int64
         lib.preprocess_stage2_packed.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
@@ -152,6 +159,31 @@ def preprocess_stage2_only(mode, white, c_mask, c_marker, global_thresh,
         xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(xs))
+
+
+def decode_jpeg_gray_stage1(jpg, need_mean, want_stats=False):
+    """Fused JPEG-grayscale decode + stage 1 into thread-local buffers.
+
+    :param jpg: bytes-like / uint8 ndarray with one complete JPEG
+    :return: (h, w) on success (+stats array when requested), None when the
+        library lacks jpeg support or the frame failed to decode
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, 'decode_jpeg_gray_stage1'):
+        return None
+    buf = np.frombuffer(jpg, np.uint8) if not isinstance(jpg, np.ndarray) \
+        else jpg
+    stats = np.zeros(2, np.float64) if want_stats else None
+    dims = np.zeros(2, np.int64)
+    rc = lib.decode_jpeg_gray_stage1(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        1 if need_mean else 0,
+        stats.ctypes.data_as(ctypes.c_void_p) if want_stats else None,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    out = (int(dims[0]), int(dims[1]))
+    return (out, stats) if want_stats else out
 
 
 def preprocess_stage2_packed(mode, white, c_mask, c_marker, global_thresh,
