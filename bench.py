@@ -158,15 +158,20 @@ def measure_dense():
               use_pallas=jax.default_backend() == 'tpu')
     state = trk.init_tracker_state(16384, dims=2, use_gsff=False)
 
+    import jax.numpy as jnp
+
     def step():
         out = detect_from_pixels(None, None, counts, None, fv,
                                  px_packed=packed, **kw)
         s2, em = trk.run_tracker_scan(state, out['det_xy'], out['det_info'],
                                       out['det_valid'], max_disappeared=30.0,
                                       use_gsff=False)
-        return float(np.asarray(em['mask']).sum()), np.asarray(out['n_components'])
+        # scalar-reduction fetch: guarantees completion on the tunnelled
+        # backend without a bulk d2h inside the timing loop (CLAUDE.md)
+        float(jnp.sum(em['mask']))
+        return out
 
-    _, n_comp = step()  # compile
+    n_comp = np.asarray(step()['n_components'])  # compile + label fetch
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()

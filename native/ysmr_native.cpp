@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 #include <vector>
 
 #if defined(__AVX512BW__) && defined(__AVX512VBMI__)
@@ -538,9 +539,20 @@ int64_t decode_jpeg_gray_stage1(const uint8_t* jpg, int64_t len,
     jpeg_start_decompress(&cinfo);
     const int64_t h = cinfo.output_height;
     const int64_t w = cinfo.output_width;
+    // header dims are untrusted input: cap the allocation (256 Mpx) and keep
+    // std::bad_alloc from unwinding through this extern "C" boundary
+    if (h <= 0 || w <= 0 || h * w > (int64_t(1) << 28)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;
+    }
     tl_h = h; tl_w = w;
-    tl_gray.resize(h * w);
-    tl_blur.resize(h * w);
+    try {
+        tl_gray.resize(h * w);
+        tl_blur.resize(h * w);
+    } catch (const std::bad_alloc&) {
+        jpeg_destroy_decompress(&cinfo);
+        return 3;
+    }
     while (cinfo.output_scanline < cinfo.output_height) {
         JSAMPROW row = tl_gray.data() +
                        static_cast<int64_t>(cinfo.output_scanline) * w;

@@ -61,7 +61,11 @@ class MjpgAviDemuxer:
             if ckid == b'idx1':
                 break
             size = int.from_bytes(mm[pos + 4:pos + 8], 'little')
-            if ckid[2:4] in (b'dc', b'db') and size > 0:
+            if pos + 8 + size > end:
+                break  # truncated chunk
+            # stream 00 (the first/video stream) only: a second stream's
+            # 'NNdc'/'NNdb' chunks would otherwise misalign frame indices
+            if ckid[:2] == b'00' and ckid[2:4] in (b'dc', b'db') and size > 0:
                 self.offsets.append((pos + 8, size))
             pos += 8 + size + (size & 1)
 
@@ -192,7 +196,13 @@ class BatchedVideoReader:
                         # native jpeg path unavailable for this frame:
                         # fall through to cv2.imdecode
                     frame = self._demux.read_gray(idx)
-                    ret = frame is not None
+                    if frame is None:
+                        # a mid-stream chunk that fails to decode is an
+                        # error, not EOF (the chunk scan bounded the list)
+                        raise VideoReadError(
+                            'Undecodable MJPG chunk {} in {}'.format(
+                                idx, self.path))
+                    ret = True
                 else:
                     ret, frame = cap.read()
                 if not ret:

@@ -68,7 +68,9 @@ def _load():
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # missing library, or a stale .so lacking a required symbol: fall
+        # back to the pure-Python paths rather than crash mid-pipeline
         _LIB = None
     return _LIB
 

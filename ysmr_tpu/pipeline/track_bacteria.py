@@ -213,7 +213,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     import time
     t_start = time.perf_counter()
     pending = []  # accumulated column arrays awaiting flush
-    all_parts = []  # every compacted part, kept for the in-memory final sort
+    # every compacted part, kept for the in-memory final sort — bounded:
+    # beyond ~16M rows (~1 GB of column arrays) the final sort falls back to
+    # the CSV round-trip instead of holding the whole run in memory
+    all_parts = []
+    all_parts_rows = 0
+    max_in_memory_rows = 1 << 24
     pending_rows = 0
     flush_every = settings['list save length interval']
     error_during_read = False
@@ -255,7 +260,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         pending = []
         pending_rows = 0
 
-    stage_t = {'wait_batch': 0.0, 'dispatch': 0.0, 'readback': 0.0}
+    stage_t = {'wait_batch': 0.0, 'dispatch': 0.0, 'readback': 0.0, 'csv': 0.0}
     try:
         batches = iter(reader)
         while True:
@@ -295,19 +300,27 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             start_async_readback(emissions, tables['n_components'])
             t2 = time.perf_counter()
             stage_t['dispatch'] += t2 - t1
+            csv_this_iter = 0.0
             frames_processed += count
             if in_flight is not None:
                 check_overflow(in_flight[3], in_flight[2])
                 out = _compact_emissions(*in_flight[:3])
                 if out is not None:
                     pending.append(out)
-                    all_parts.append(out)
+                    if all_parts is not None:
+                        all_parts.append(out)
+                        all_parts_rows += len(out['TRACK_ID'])
+                        if all_parts_rows > max_in_memory_rows:
+                            all_parts = None  # too big; sort from CSV at end
                     pending_rows += len(out['TRACK_ID'])
                     if pending_rows >= flush_every:
+                        t3 = time.perf_counter()
                         flush()
+                        csv_this_iter = time.perf_counter() - t3
+                        stage_t['csv'] += csv_this_iter
             in_flight = (emissions, batch['start'], frame_valid,
                          tables['n_components'])
-            stage_t['readback'] += time.perf_counter() - t2
+            stage_t['readback'] += (time.perf_counter() - t2) - csv_this_iter
     except VideoReadError:
         logger.critical('Error during read with file %s', video_path)
         error_during_read = settings['stop evaluation on error']
@@ -316,7 +329,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         out = _compact_emissions(*in_flight[:3])
         if out is not None:
             pending.append(out)
-            all_parts.append(out)
+            if all_parts is not None:
+                all_parts.append(out)
             pending_rows += len(out['TRACK_ID'])
     flush()
     if preprocess is not None and preprocess.overflowed:
@@ -358,10 +372,11 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     if (settings['verbose'] or settings.get('profile stages')) and frames_processed:
         logger.info(
             'Per-frame stage times: wait_batch %.2f ms, dispatch %.2f ms, '
-            'readback %.2f ms (of %.2f ms total)',
+            'readback %.2f ms, csv %.2f ms (of %.2f ms total)',
             stage_t['wait_batch'] / frames_processed * 1e3,
             stage_t['dispatch'] / frames_processed * 1e3,
             stage_t['readback'] / frames_processed * 1e3,
+            stage_t['csv'] / frames_processed * 1e3,
             elapsed / frames_processed * 1e3)
     logger.info(
         'Average frames analysed per second: %s, objects: %s, frames: %s, csv: %s',
