@@ -103,6 +103,34 @@ def test_fast_mode_falls_back_for_truncated_avi(tmp_path):
         assert len(reader._demux) >= reader.frame_count
 
 
+def test_native_jpeg_decode_rejects_hostile_dims(tmp_path):
+    """A JPEG whose header claims absurd dimensions must fail cleanly (the
+    dims cap / bad_alloc guard), not kill the process."""
+    from ysmr_tpu import native
+    from ysmr_tpu.io.video import MjpgAviDemuxer
+    if native._load() is None or \
+            not hasattr(native._load(), 'decode_jpeg_gray_stage1'):
+        pytest.skip('native jpeg decode unavailable')
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=2)
+    demux = MjpgAviDemuxer(video)
+    chunk = np.array(demux.chunk(0))
+    demux.close()
+    # sanity: the pristine chunk decodes
+    assert native.decode_jpeg_gray_stage1(chunk, need_mean=False) is not None
+    # patch the SOF0 height/width to 65535x65535 (>256 Mpx cap)
+    bad = chunk.copy()
+    i = 0
+    patched = False
+    while i + 9 < len(bad):
+        if bad[i] == 0xFF and bad[i + 1] in (0xC0, 0xC1, 0xC2):
+            bad[i + 5:i + 9] = [0xFF, 0xFF, 0xFF, 0xFF]  # height, width
+            patched = True
+            break
+        i += 1
+    assert patched, 'no SOF marker found'
+    assert native.decode_jpeg_gray_stage1(bad, need_mean=False) is None
+
+
 def test_demuxer_rejects_non_avi(tmp_path):
     from ysmr_tpu.io.video import MjpgAviDemuxer, VideoReadError
     bad = str(tmp_path / 'not.avi')
