@@ -349,6 +349,93 @@ const float kGauss11[11] = {
 
 namespace {
 
+// float32 separable 11-tap on the blurred image (the reference thresholds
+// the blurred image and computes the adaptive mean from it,
+// track_eval.py:189-208). Horizontal taps run over a replicate-padded float
+// row; 11 such rows live in a ring consumed by the row-wise vertical pass.
+struct MeanRing {
+    std::vector<float> ring;
+    std::vector<float> padrow;
+    int64_t w = 0;
+
+    float* slot(int64_t y) { return ring.data() + (y % 11) * w; }
+
+    void hpass(int64_t y) {
+        const uint8_t* row = tl_blur.data() + y * w;
+        float* trow = slot(y);
+        float* pr = padrow.data();
+        int64_t x = 0;
+#ifdef YSMR_AVX512
+        for (; x + 16 <= w; x += 16) {
+            __m512 v = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+                _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + x))));
+            _mm512_storeu_ps(pr + x + 5, v);
+        }
+#endif
+        for (; x < w; ++x) pr[x + 5] = row[x];
+        for (int k = 0; k < 5; ++k) {
+            pr[k] = row[0];
+            pr[w + 5 + k] = row[w - 1];
+        }
+        x = 0;
+#ifdef YSMR_AVX512
+        for (; x + 16 <= w; x += 16) {
+            __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(pr + x),
+                                       _mm512_set1_ps(kGauss11[0]));
+            for (int k = 1; k < 11; ++k) {
+                acc = _mm512_fmadd_ps(_mm512_loadu_ps(pr + x + k),
+                                      _mm512_set1_ps(kGauss11[k]), acc);
+            }
+            _mm512_storeu_ps(trow + x, acc);
+        }
+#endif
+        for (; x < w; ++x) {
+            float acc = 0.0f;
+            for (int k = 0; k < 11; ++k) acc += pr[x + k] * kGauss11[k];
+            trow[x] = acc;
+        }
+    }
+
+    void start(int64_t height, int64_t width) {
+        w = width;
+        ring.resize(11 * w);
+        padrow.resize(w + 10);
+        for (int64_t y = 0; y < std::min<int64_t>(6, height); ++y) hpass(y);
+    }
+
+    // mean row y (u8, rint nearest-even) into out; call with increasing y
+    void mean_row(int64_t h, int64_t y, uint8_t* out) {
+        if (y + 5 < h && y + 5 >= 6) hpass(y + 5);
+        const float* rows[11];
+        for (int k = 0; k < 11; ++k) {
+            int64_t yy = y + k - 5;
+            if (yy < 0) yy = 0;
+            if (yy >= h) yy = h - 1;
+            rows[k] = slot(yy);
+        }
+        int64_t x = 0;
+#ifdef YSMR_AVX512
+        // vcvtps2dq rounds to nearest-even — same as nearbyintf under the
+        // default rounding mode
+        for (; x + 16 <= w; x += 16) {
+            __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(rows[0] + x),
+                                       _mm512_set1_ps(kGauss11[0]));
+            for (int k = 1; k < 11; ++k) {
+                acc = _mm512_fmadd_ps(_mm512_loadu_ps(rows[k] + x),
+                                      _mm512_set1_ps(kGauss11[k]), acc);
+            }
+            __m128i v8 = _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(acc));
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x), v8);
+        }
+#endif
+        for (; x < w; ++x) {
+            float acc = 0.0f;
+            for (int k = 0; k < 11; ++k) acc += rows[k][x] * kGauss11[k];
+            out[x] = static_cast<uint8_t>(static_cast<int32_t>(nearbyintf(acc)));
+        }
+    }
+};
+
 // blur3 (+ adaptive mean) from the already-filled tl_gray buffer.
 void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
                       double* out_stats) {
@@ -372,7 +459,22 @@ void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
             const uint8_t* row = tl_gray.data() + y * w;
             trow[0] = static_cast<uint16_t>(
                 row[1] * 64 + row[0] * 128 + row[1] * 64);
-            for (int64_t x = 1; x < w - 1; ++x) {
+            int64_t x = 1;
+#ifdef YSMR_AVX512
+            // 64*(a + c + 2b) over 32 u16 lanes; max 64*1020 fits u16
+            for (; x + 32 <= w - 1; x += 32) {
+                __m512i a = _mm512_cvtepu8_epi16(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(row + x - 1)));
+                __m512i b = _mm512_cvtepu8_epi16(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(row + x)));
+                __m512i c = _mm512_cvtepu8_epi16(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(row + x + 1)));
+                __m512i s = _mm512_add_epi16(_mm512_add_epi16(a, c),
+                                             _mm512_slli_epi16(b, 1));
+                _mm512_storeu_si512(trow + x, _mm512_slli_epi16(s, 6));
+            }
+#endif
+            for (; x < w - 1; ++x) {
                 trow[x] = static_cast<uint16_t>(
                     row[x - 1] * 64 + row[x] * 128 + row[x + 1] * 64);
             }
@@ -390,7 +492,27 @@ void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
             const uint16_t* rm = slot(y);
             const uint16_t* rd = slot(yd);
             uint8_t* out = tl_blur.data() + y * w;
-            for (int64_t x = 0; x < w; ++x) {
+            int64_t x = 0;
+#ifdef YSMR_AVX512
+            // ((ru + rd) << 6) + (rm << 7) + 2^15 >> 16 in u32 lanes
+            // (max 255*256*256 + 2^15 < 2^32)
+            const __m512i rnd16 = _mm512_set1_epi32(1 << 15);
+            for (; x + 16 <= w; x += 16) {
+                __m512i u = _mm512_cvtepu16_epi32(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(ru + x)));
+                __m512i m = _mm512_cvtepu16_epi32(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(rm + x)));
+                __m512i d = _mm512_cvtepu16_epi32(_mm256_loadu_si256(
+                    reinterpret_cast<const __m256i*>(rd + x)));
+                __m512i acc = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_slli_epi32(_mm512_add_epi32(u, d), 6),
+                                     _mm512_slli_epi32(m, 7)),
+                    rnd16);
+                __m128i v8 = _mm512_cvtepi32_epi8(_mm512_srli_epi32(acc, 16));
+                _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x), v8);
+            }
+#endif
+            for (; x < w; ++x) {
                 out[x] = static_cast<uint8_t>(
                     (static_cast<uint32_t>(ru[x]) * 64 +
                      static_cast<uint32_t>(rm[x]) * 128 +
@@ -399,91 +521,18 @@ void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
         }
     }
     if (need_adaptive_mean) {
-        // float32 separable 11-tap on the blurred image (the reference
-        // thresholds the blurred image and computes the adaptive mean from
-        // it, track_eval.py:189-208). Horizontal rows are expanded into
-        // replicate-padded float buffers held in an 11-row ring, so the
-        // full-image f32 tmp plane never round-trips DRAM; the vertical
-        // pass consumes the ring directly (replicate border = clamped row
-        // index, always among the last 11 computed rows).
+        // plane-wise on purpose: a row-wise threshold fusion was measured
+        // slower (store-to-load forwarding stalls on the just-written mean
+        // row); the 1.1 MB plane stays in LLC between the stages
         tl_mean.resize(h * w);
-        static thread_local std::vector<float> ring11;
-        ring11.resize(11 * w);
-
-        auto hpass = [&](int64_t y, float* trow) {
-            const uint8_t* row = tl_blur.data() + y * w;
-            static thread_local std::vector<float> padrow;
-            padrow.resize(w + 10);
-            float* pr = padrow.data();
-            int64_t x = 0;
-#ifdef YSMR_AVX512
-            for (; x + 16 <= w; x += 16) {
-                __m512 v = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
-                    _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + x))));
-                _mm512_storeu_ps(pr + x + 5, v);
-            }
-#endif
-            for (; x < w; ++x) pr[x + 5] = row[x];
-            for (int k = 0; k < 5; ++k) {
-                pr[k] = row[0];
-                pr[w + 5 + k] = row[w - 1];
-            }
-            x = 0;
-#ifdef YSMR_AVX512
-            for (; x + 16 <= w; x += 16) {
-                __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(pr + x),
-                                           _mm512_set1_ps(kGauss11[0]));
-                for (int k = 1; k < 11; ++k) {
-                    acc = _mm512_fmadd_ps(_mm512_loadu_ps(pr + x + k),
-                                          _mm512_set1_ps(kGauss11[k]), acc);
-                }
-                _mm512_storeu_ps(trow + x, acc);
-            }
-#endif
-            for (; x < w; ++x) {
-                float acc = 0.0f;
-                for (int k = 0; k < 11; ++k) acc += pr[x + k] * kGauss11[k];
-                trow[x] = acc;
-            }
-        };
-        auto slot = [&](int64_t y) { return ring11.data() + (y % 11) * w; };
-
-        for (int64_t y = 0; y < std::min<int64_t>(6, h); ++y) {
-            hpass(y, slot(y));
-        }
+        static thread_local MeanRing ring;
+        ring.start(h, w);
         for (int64_t y = 0; y < h; ++y) {
-            if (y + 5 < h && y + 5 >= 6) hpass(y + 5, slot(y + 5));
-            const float* rows[11];
-            for (int k = 0; k < 11; ++k) {
-                int64_t yy = y + k - 5;
-                if (yy < 0) yy = 0;
-                if (yy >= h) yy = h - 1;
-                rows[k] = slot(yy);
-            }
-            uint8_t* out = tl_mean.data() + y * w;
-            int64_t x = 0;
-#ifdef YSMR_AVX512
-            // vcvtps2dq rounds to nearest-even — same as nearbyintf under
-            // the default rounding mode
-            for (; x + 16 <= w; x += 16) {
-                __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(rows[0] + x),
-                                           _mm512_set1_ps(kGauss11[0]));
-                for (int k = 1; k < 11; ++k) {
-                    acc = _mm512_fmadd_ps(_mm512_loadu_ps(rows[k] + x),
-                                          _mm512_set1_ps(kGauss11[k]), acc);
-                }
-                __m128i v8 = _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(acc));
-                _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x), v8);
-            }
-#endif
-            for (; x < w; ++x) {
-                float acc = 0.0f;
-                for (int k = 0; k < 11; ++k) acc += rows[k][x] * kGauss11[k];
-                out[x] = static_cast<uint8_t>(static_cast<int32_t>(nearbyintf(acc)));
-            }
+            ring.mean_row(h, y, tl_mean.data() + y * w);
         }
     }
 }
+
 
 }  // namespace
 
@@ -685,7 +734,7 @@ int64_t preprocess_stage2(int mode, int white, double c_mask, double c_marker,
 int64_t preprocess_stage2_packed(int mode, int white, double c_mask,
                                  double c_marker, int64_t global_thresh,
                                  uint32_t* out, int64_t max_out) {
-    const int64_t h = tl_h, w = tl_w;
+    const int64_t w = tl_w;
     static thread_local std::vector<int16_t> xs_v, ys_v;
     static thread_local std::vector<uint8_t> fl_v;
     if (static_cast<int64_t>(xs_v.size()) < max_out) {

@@ -57,6 +57,8 @@ def analyse(path, settings=None, result_folder=None, return_df=False, **kwargs):
     return_value = None
     if result_folder is None:
         result_folder = create_results_folder(path)
+    elif not os.path.isdir(result_folder):
+        os.makedirs(result_folder, exist_ok=True)
     logger.debug('Starting process. PID: %s Result folder: %s',
                  os.getpid(), result_folder)
     plots_eval = any([
