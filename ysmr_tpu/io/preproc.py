@@ -12,6 +12,7 @@ instead of a megabyte per frame over the host-device link.
 """
 
 import logging
+import threading
 
 import cv2
 import numpy as np
@@ -39,6 +40,9 @@ class HostPreprocessor:
         self.threshold_state = MovingAverageThreshold(
             fps, self.offset, self.white_on_dark) if self.mode == 'mean' else None
         self.overflowed = 0
+        # striped decode calls this object from several worker threads; the
+        # native buffers are thread-local, only this counter is shared
+        self._overflow_lock = threading.Lock()
 
     def _call_native(self, frame):
         """Single native pass: gray/blur/threshold/extraction in C++.
@@ -72,7 +76,8 @@ class HostPreprocessor:
             packed = np.zeros(self.max_fg, np.uint32)
             count = native.preprocess_stage2_packed(*s2_args, packed)
             if count > self.max_fg:
-                self.overflowed += 1
+                with self._overflow_lock:
+                    self.overflowed += 1
                 count = self.max_fg
             return {'px_packed': packed, 'count': count}
         xs = np.empty(self.max_fg, np.int16)
@@ -80,7 +85,8 @@ class HostPreprocessor:
         flags = np.zeros(self.max_fg, np.uint8)
         count = native.preprocess_stage2_only(*s2_args, xs, ys, flags)
         if count > self.max_fg:
-            self.overflowed += 1
+            with self._overflow_lock:
+                self.overflowed += 1
             count = self.max_fg
         out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
         g = np.zeros(self.max_fg, np.int16)
@@ -150,7 +156,8 @@ class HostPreprocessor:
             if markers is not None:
                 flags[:m] = markers[yy[:m], xx[:m]] > 0
         if count > self.max_fg:
-            self.overflowed += 1
+            with self._overflow_lock:
+                self.overflowed += 1
             count = self.max_fg
         out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
         if self.include_luminosity:

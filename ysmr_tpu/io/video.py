@@ -99,7 +99,7 @@ class BatchedVideoReader:
     """
 
     def __init__(self, video_path, batch_size=16, prefetch=3, color_filter=None,
-                 preprocess=None, decode_mode='exact'):
+                 preprocess=None, decode_mode='exact', decode_threads=1):
         self.logger = logging.getLogger('ysmr').getChild(__name__)
         self.path = video_path
         self.batch_size = batch_size
@@ -115,6 +115,7 @@ class BatchedVideoReader:
         self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         fourcc = int(cap.get(cv2.CAP_PROP_FOURCC)) & 0xFFFFFFFF
         fourcc = fourcc.to_bytes(4, 'little')
+        self._fourcc = fourcc
         self._demux = None
         # fast mode applies only on the preprocessed (grayscale) path: the
         # frames path ships BGR to the device, so there is nothing to skip
@@ -142,6 +143,37 @@ class BatchedVideoReader:
         self.frames_read = 0
         self.error_during_read = False
         self.read_stopped_early = False
+        self._n_stripes = self._resolve_stripes(decode_threads)
+
+    def _resolve_stripes(self, decode_threads):
+        """Number of parallel decode workers (1 = the sequential path).
+
+        Striped decode interleaves whole batches over worker threads, each
+        with its own capture/demux handle. It requires random access with
+        exact sequential semantics, so it is gated to:
+        - a known frame count (partitioning needs a bound),
+        - MJPG input (intra-only; cv2 frame seeks land exactly — verified by
+          the byte-identical striped-vs-sequential test) or an active demuxer,
+        - threshold modes without cross-frame state (the mean mode's moving
+          average consumes frames strictly in order).
+        """
+        threads = int(decode_threads or 1)
+        if threads <= 1:
+            return 1
+        if self.frame_count <= 0:
+            self.logger.debug('Striped decode off: unknown frame count.')
+            return 1
+        if self.preprocess is not None and \
+                getattr(self.preprocess, 'threshold_state', None) is not None:
+            self.logger.debug('Striped decode off: mean-threshold mode is '
+                              'sequential.')
+            return 1
+        if self._demux is None and self._fourcc not in (b'MJPG', b'mjpg'):
+            self.logger.debug('Striped decode off: non-MJPG input (frame '
+                              'seeks are not exact on inter-frame codecs).')
+            return 1
+        n_batches = -(-self.frame_count // self.batch_size)
+        return max(1, min(threads, n_batches))
 
     def _stack_batch(self, batch):
         if self.preprocess is None:
@@ -165,6 +197,19 @@ class BatchedVideoReader:
                     arr[i] = b[key]
                 out[key] = arr
         return out
+
+    def _prep_frame(self, frame):
+        """Per-frame host work shared by the sequential and striped paths."""
+        if self.preprocess is None:
+            if self.color_filter is not None and \
+                    self.color_filter != cv2.COLOR_BGR2GRAY and frame.ndim == 3:
+                # non-default colour filters convert on host (rare path);
+                # result is re-expanded so the device sees one layout
+                gray = cv2.cvtColor(frame, self.color_filter)
+                if gray.ndim == 2:
+                    frame = np.repeat(gray[..., None], 3, axis=2)
+            return frame
+        return self.preprocess(frame)
 
     def _decode_loop(self):
         cap = self._cap
@@ -207,15 +252,7 @@ class BatchedVideoReader:
                     ret, frame = cap.read()
                 if not ret:
                     break
-                if self.preprocess is None and self.color_filter is not None and \
-                        self.color_filter != cv2.COLOR_BGR2GRAY and frame.ndim == 3:
-                    # non-default colour filters convert on host (rare path);
-                    # result is re-expanded so the device sees one layout
-                    gray = cv2.cvtColor(frame, self.color_filter)
-                    if gray.ndim == 2:
-                        frame = np.repeat(gray[..., None], 3, axis=2)
-                batch.append(frame if self.preprocess is None
-                             else self.preprocess(frame))
+                batch.append(self._prep_frame(frame))
                 idx += 1
                 if len(batch) == self.batch_size:
                     self._queue.put(('batch', self._stack_batch(batch),
@@ -235,6 +272,11 @@ class BatchedVideoReader:
                 cap.release()
 
     def __iter__(self):
+        if self._n_stripes > 1:
+            return self._iter_striped()
+        return self._iter_sequential()
+
+    def _iter_sequential(self):
         self._thread = threading.Thread(target=self._decode_loop, daemon=True)
         self._thread.start()
         while True:
@@ -247,6 +289,117 @@ class BatchedVideoReader:
                 self.error_during_read = True
                 raise VideoReadError(str(payload))
             yield {'frames': payload, 'start': start, 'count': count}
+
+    # -- striped decode: whole batches interleaved over worker threads ------
+    #
+    # Worker k owns batches k, k+T, k+2T, ... and posts them, in order, to
+    # its own bounded queue; the consumer round-robins queues by batch index,
+    # which restores global order with per-worker backpressure and no shared
+    # ordering state (a global window semaphore can deadlock: the workers
+    # holding all slots may all be ahead of the next batch due).
+    # Frame-exactness: each worker either reads from the shared mmap demuxer
+    # (pure random access) or owns a cv2.VideoCapture seeked to the batch
+    # start — gated to MJPG where frame seeks are exact (intra-only).
+
+    def _stripe_worker(self, wid, out_q):
+        T = self._n_stripes
+        batch_size = self.batch_size
+        total = self._total_frames
+        cap = None
+        seq = wid
+        try:
+            if self._demux is None:
+                cap = cv2.VideoCapture(self.path)
+                if not cap.isOpened():
+                    raise VideoReadError(
+                        'Cannot open file {}'.format(self.path))
+            fused = (self._demux is not None and self.preprocess is not None
+                     and callable(getattr(self.preprocess, 'process_jpeg',
+                                          None)))
+            pos = -1
+            while not self._stop.is_set():
+                start = seq * batch_size
+                if start >= total:
+                    break
+                n = min(batch_size, total - start)
+                batch = []
+                short = False
+                for idx in range(start, start + n):
+                    if self._demux is not None:
+                        entry = None
+                        if fused:
+                            entry = self.preprocess.process_jpeg(
+                                self._demux.chunk(idx))
+                        if entry is None:
+                            frame = self._demux.read_gray(idx)
+                            if frame is None:
+                                raise VideoReadError(
+                                    'Undecodable MJPG chunk {} in {}'.format(
+                                        idx, self.path))
+                            entry = self._prep_frame(frame)
+                        batch.append(entry)
+                    else:
+                        if pos != idx:
+                            cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                            pos = idx
+                        ret, frame = cap.read()
+                        if not ret:
+                            short = True  # EOF semantics, as sequential
+                            break
+                        pos += 1
+                        batch.append(self._prep_frame(frame))
+                payload = self._stack_batch(batch) if batch else None
+                out_q.put(('short' if short else 'batch', payload, start,
+                           len(batch)))
+                if short:
+                    break
+                seq += T
+        except Exception as exc:  # surfaced on the consumer side
+            out_q.put(('error', exc, seq * batch_size, 0))
+        finally:
+            if cap is not None:
+                cap.release()
+
+    def _iter_striped(self):
+        T = self._n_stripes
+        self._total_frames = len(self._demux) if self._demux is not None \
+            else self.frame_count
+        if self._demux is None:
+            self._cap.release()  # each worker owns its own capture
+        self._stop = threading.Event()
+        per_worker = max(1, -(-self.prefetch // T) + 1)
+        queues = [queue.Queue(maxsize=per_worker) for _ in range(T)]
+        workers = [threading.Thread(target=self._stripe_worker,
+                                    args=(k, queues[k]), daemon=True)
+                   for k in range(T)]
+        for t in workers:
+            t.start()
+        n_batches = -(-self._total_frames // self.batch_size)
+        try:
+            for expect in range(n_batches):
+                kind, payload, start, count = queues[expect % T].get()
+                if kind == 'error':
+                    self.frames_read = start
+                    self.error_during_read = True
+                    raise VideoReadError(str(payload))
+                if count:
+                    yield {'frames': payload, 'start': start, 'count': count}
+                if kind == 'short':
+                    self.frames_read = start + count
+                    return
+            self.frames_read = self._total_frames
+        finally:
+            self._stop.set()
+            for t in workers:
+                while t.is_alive():
+                    for q in queues:
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
+                    t.join(0.05)
+            if self._demux is not None:
+                self._demux.close()
 
 
 def open_video_writer(path, fourcc, fps, width, height):

@@ -179,13 +179,18 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         preprocess = HostPreprocessor(
             settings, fps_of_file,
             max_fg=settings['max foreground pixels per frame'])
+    # striped decode pays off only with spare cores; this also keeps the
+    # single-core hot path free of thread-switch overhead
+    decode_threads = max(1, min(int(settings.get('host decode threads', 1) or 1),
+                                os.cpu_count() or 1))
     try:
         reader = BatchedVideoReader(
             video_path, batch_size=batch_size,
             prefetch=settings['prefetch batches'],
             color_filter=settings['color filter'],
             preprocess=preprocess,
-            decode_mode=settings.get('decode mode', 'exact'))
+            decode_mode=settings.get('decode mode', 'exact'),
+            decode_threads=decode_threads)
     except VideoReadError as err:
         logger.exception('Problem opening file %s: %s', video_path, err)
         return None
