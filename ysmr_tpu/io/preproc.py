@@ -40,6 +40,10 @@ class HostPreprocessor:
         self.threshold_state = MovingAverageThreshold(
             fps, self.offset, self.white_on_dark) if self.mode == 'mean' else None
         self.overflowed = 0
+        # live display (track_bacteria) needs the decoded frames alongside
+        # the pixel tables; set by the pipeline when 'display video analysis'
+        # is on (forces the non-fused decode path so a frame object exists)
+        self.keep_frames = False
         # striped decode calls this object from several worker threads; the
         # native buffers are thread-local, only this counter is shared
         self._overflow_lock = threading.Lock()
@@ -56,9 +60,13 @@ class HostPreprocessor:
         if self.mode == 'mean':
             stats = native.preprocess_stage1_only(frame, need_mean=False,
                                                   want_stats=True)
-            return self._stage2_tables(h, w, mean_stats=stats)
-        native.preprocess_stage1_only(frame, need_mean=True)
-        return self._stage2_tables(h, w)
+            out = self._stage2_tables(h, w, mean_stats=stats)
+        else:
+            native.preprocess_stage1_only(frame, need_mean=True)
+            out = self._stage2_tables(h, w)
+        if self.keep_frames:
+            out['display_frames'] = frame
+        return out
 
     def _stage2_tables(self, h, w, mean_stats=None):
         """Threshold + extraction from the thread's filled stage-1 buffers."""
@@ -102,6 +110,8 @@ class HostPreprocessor:
         Returns None when the native jpeg path is unavailable or the frame
         fails to decode (caller falls back to cv2.imdecode + __call__).
         """
+        if self.keep_frames:
+            return None  # fused decode keeps no frame object; use fallback
         if self.mode == 'mean':
             res = native.decode_jpeg_gray_stage1(jpg_buf, need_mean=False,
                                                  want_stats=True)
@@ -165,4 +175,6 @@ class HostPreprocessor:
             n = min(count, self.max_fg)
             g[:n] = gray[ys[:n], xs[:n]]
             out['px_gray'] = g
+        if self.keep_frames:
+            out['display_frames'] = np.ascontiguousarray(frame_bgr)
         return out

@@ -119,9 +119,18 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         return None
     frame_bytes = probe_reader.width * probe_reader.height * 3
     transfer_mode = resolve_transfer_mode(settings, frame_bytes)
+    display = None
+    if settings['display video analysis']:
+        from ysmr_tpu.pipeline.display import LiveDisplay
+        display = LiveDisplay(video_path, settings, probe_reader.height,
+                              probe_reader.width)
+        if not display.enabled:
+            display = None  # headless: warned already, run normally
     batch_size = settings['frame batch size']
     import jax as _jax_mod
-    if transfer_mode == 'pixels' and batch_size < 64 and \
+    if display is not None:
+        batch_size = min(batch_size, 16)  # bound preview latency and memory
+    elif transfer_mode == 'pixels' and batch_size < 64 and \
             _jax_mod.default_backend() != 'cpu':
         batch_size = 64  # amortise link latency; pixel tables are small
     logger.debug('Transfer mode: %s, batch size: %s', transfer_mode, batch_size)
@@ -151,10 +160,6 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     if not result_folder:
         result_folder = create_results_folder(video_path)
     logger.info('Starting with file %s', video_path)
-    if settings['display video analysis']:
-        logger.warning('Live display during tracking is not available in the '
-                       'batched device pipeline; use annotate_video() (or the '
-                       "'save video' option) to inspect detections.")
 
     old_list, list_name = save_list(
         path=video_path, result_folder=result_folder, first_call=True,
@@ -179,6 +184,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         preprocess = HostPreprocessor(
             settings, fps_of_file,
             max_fg=settings['max foreground pixels per frame'])
+        if display is not None:
+            preprocess.keep_frames = True  # retain frames for the preview
     # striped decode pays off only with spare cores; this also keeps the
     # single-core hot path free of thread-switch overhead
     decode_threads = max(1, min(int(settings.get('host decode threads', 1) or 1),
@@ -233,7 +240,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     # fetching immediately would block the host on the device compute of the
     # current batch and stall the single-core decode thread; one batch later
     # the values are long since ready and the fetch costs only the transfer
-    in_flight = None  # (emissions, start, frame_valid, n_components)
+    in_flight = None  # (emissions, start, frame_valid, n_components, disp)
 
     def start_async_readback(emissions, n_components):
         for arr in (emissions['mask'], emissions['ids'], emissions['pos'],
@@ -254,6 +261,24 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 'Frame(s) with more than %s detections; extra components '
                 "dropped. Raise 'max detections per frame' in [TPU "
                 'SETTINGS].', config.max_det)
+
+    def maybe_display(flight):
+        """Preview a read-back batch; returns True when the user hit 'q'."""
+        if display is None or flight[4] is None or not display.enabled or \
+                display.interrupted:
+            return display is not None and display.interrupted
+        disp = flight[4]
+        det_host = {k: np.asarray(v) for k, v in disp['det'].items()}
+        if disp.get('px') is not None:
+            for key in ('px_x', 'px_y', 'px_marker', 'px_packed', 'count'):
+                if key in disp['px']:
+                    det_host[key] = np.asarray(disp['px'][key])
+        emis_host = {k: np.asarray(flight[0][k])
+                     for k in ('mask', 'ids', 'pos')}
+        cur_fps = frames_processed / max(time.perf_counter() - t_start, 1e-9)
+        display.show_batch(disp['frames'], int(flight[2].sum()), det_host,
+                           emis_host, cur_fps)
+        return display.interrupted
 
     def flush():
         nonlocal pending, pending_rows
@@ -305,9 +330,24 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             start_async_readback(emissions, tables['n_components'])
             t2 = time.perf_counter()
             stage_t['dispatch'] += t2 - t1
+            disp = None
+            if display is not None and display.enabled and \
+                    not display.interrupted:
+                disp = {'det': {k: tables[k] for k in
+                                ('det_xy', 'det_info', 'det_valid')}}
+                if transfer_mode == 'pixels':
+                    disp['frames'] = data.get('display_frames')
+                    disp['px'] = data
+                else:
+                    disp['frames'] = data
             csv_this_iter = 0.0
             frames_processed += count
             if in_flight is not None:
+                if maybe_display(in_flight):
+                    logger.error('Processing file interrupted by user: %s',
+                                 video_path)
+                    error_during_read = True
+                    break
                 check_overflow(in_flight[3], in_flight[2])
                 out = _compact_emissions(*in_flight[:3])
                 if out is not None:
@@ -324,11 +364,15 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                         csv_this_iter = time.perf_counter() - t3
                         stage_t['csv'] += csv_this_iter
             in_flight = (emissions, batch['start'], frame_valid,
-                         tables['n_components'])
+                         tables['n_components'], disp)
             stage_t['readback'] += (time.perf_counter() - t2) - csv_this_iter
     except VideoReadError:
         logger.critical('Error during read with file %s', video_path)
         error_during_read = settings['stop evaluation on error']
+    if in_flight is not None and not error_during_read:
+        if maybe_display(in_flight):
+            logger.error('Processing file interrupted by user: %s', video_path)
+            error_during_read = True
     if in_flight is not None and not error_during_read:
         check_overflow(in_flight[3], in_flight[2])
         out = _compact_emissions(*in_flight[:3])
@@ -338,6 +382,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 all_parts.append(out)
             pending_rows += len(out['TRACK_ID'])
     flush()
+    if display is not None:
+        display.close()
     if preprocess is not None and preprocess.overflowed:
         logger.warning(
             '%s frame(s) exceeded %s foreground pixels; extra pixels dropped. '
