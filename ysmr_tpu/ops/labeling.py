@@ -456,6 +456,10 @@ def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y):
             jnp.concatenate([lv, rv], axis=1))
 
 
+#: test hook: force the sweep implementation (None = backend default)
+_SWEEP_OVERRIDE = None
+
+
 def _sweep_extents(pts, valid, angles):
     """Extents of candidate points along a set of directions.
 
@@ -503,14 +507,17 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
     d = pts.shape[0]
     half_pi = jnp.float32(np.pi / 2)
     coarse = jnp.arange(coarse_k, dtype=jnp.float32) * (half_pi / coarse_k)
-    min_u, max_u, min_v, max_v = _sweep_extents(pts, valid, coarse)
-    area = (max_u - min_u) * (max_v - min_v)
-    best = jnp.argmin(area, axis=1)  # (D,)
-    best_angle = coarse[best]
-    step = half_pi / coarse_k
-    half = (fine_k - 1) // 2
+
+    # on TPU the sweeps run as a Pallas kernel (per-component angles resident
+    # in VMEM; the XLA formulation pays (D, K, P) tensors of HBM traffic);
+    # _SWEEP_OVERRIDE exists for A/B tests
+    use_pallas_sweep = _SWEEP_OVERRIDE if _SWEEP_OVERRIDE is not None \
+        else jax.default_backend() == 'tpu'
 
     def fine_extents(p, vmask, ang):
+        if use_pallas_sweep:
+            from ysmr_tpu.ops.pallas_sweep import sweep_extents
+            return sweep_extents(p, vmask, jnp.cos(ang), jnp.sin(ang))
         cos = jnp.cos(ang)[:, :, None]  # (D, K2, 1)
         sin = jnp.sin(ang)[:, :, None]
         px = p[..., 0][:, None, :]      # (D, 1, P)
@@ -523,6 +530,17 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
                 jnp.max(jnp.where(vm, pu, -big), axis=-1),
                 jnp.min(jnp.where(vm, pv, big), axis=-1),
                 jnp.max(jnp.where(vm, pv, -big), axis=-1))
+
+    if use_pallas_sweep:
+        min_u, max_u, min_v, max_v = fine_extents(
+            pts, valid, jnp.broadcast_to(coarse[None, :], (d, coarse_k)))
+    else:
+        min_u, max_u, min_v, max_v = _sweep_extents(pts, valid, coarse)
+    area = (max_u - min_u) * (max_v - min_v)
+    best = jnp.argmin(area, axis=1)  # (D,)
+    best_angle = coarse[best]
+    step = half_pi / coarse_k
+    half = (fine_k - 1) // 2
 
     # iterative zoom: each stage re-centres a (fine_k)-point grid on the
     # current optimum and shrinks the span by (fine_k-1)/2; the grid always
