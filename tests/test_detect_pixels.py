@@ -63,3 +63,49 @@ def test_pixels_equals_frames(rng, mode_val):
                                atol=1e-3)
     assert np.array_equal(np.asarray(got['n_components']),
                           np.asarray(ref['n_components']))
+
+
+@pytest.mark.parametrize('mode_val', [2.0, 0.0])
+@pytest.mark.parametrize('lum', [False, True])
+def test_sorted_compaction_equals_default(rng, mode_val, lum):
+    """The TPU sorted-run compaction path (detect_pixels.py, gated on
+    use_pallas) must produce identical tables to the scatter/gather
+    compaction, including luminosity sums and n_components."""
+    from ysmr_tpu.pipeline import detect_pixels as dp
+    settings = _settings(mode_val, lum=lum)
+    frames = _blob_frames(rng)
+    t, h, w, _ = frames.shape
+    config = det.DetectorConfig(settings, 30.0)
+    frame_valid = np.ones(t, bool)
+    frame_valid[-1] = False  # padded tail frame
+    prep = HostPreprocessor(settings, 30.0, max_fg=4096)
+    batches = [prep(f) for f in frames]
+    kw = dict(h=h, w=w, double_threshold=(config.mode == 'adaptive_double'),
+              max_det=config.max_det, max_bh=config.max_bh,
+              cc_iters=config.cc_iters, include_luminosity=lum)
+    counts = np.array([b['count'] for b in batches], np.int32)
+    if lum:
+        args = (np.stack([b['px_x'] for b in batches]),
+                np.stack([b['px_y'] for b in batches]), counts,
+                np.stack([b['px_marker'] for b in batches]), frame_valid)
+        kw['px_gray'] = np.stack([b['px_gray'] for b in batches])
+    else:
+        args = (None, None, counts, None, frame_valid)
+        kw['px_packed'] = np.stack([b['px_packed'] for b in batches])
+    ref = detect_from_pixels(*args, **kw)
+    old = dp._FORCE_SORT_COMPACT
+    try:
+        dp._FORCE_SORT_COMPACT = True
+        dp.detect_from_pixels.clear_cache()
+        got = detect_from_pixels(*args, **kw)
+    finally:
+        dp._FORCE_SORT_COMPACT = old
+        dp.detect_from_pixels.clear_cache()
+    assert np.array_equal(np.asarray(got['n_components']),
+                          np.asarray(ref['n_components']))
+    assert np.array_equal(np.asarray(got['det_valid']),
+                          np.asarray(ref['det_valid']))
+    np.testing.assert_allclose(np.asarray(got['det_xy']),
+                               np.asarray(ref['det_xy']), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got['det_info']),
+                               np.asarray(ref['det_info']), atol=1e-3)

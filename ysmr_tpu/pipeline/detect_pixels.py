@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 from ysmr_tpu.ops import labeling as lb
 
+#: test hook: run the sorted-run compaction path on any backend
+_FORCE_SORT_COMPACT = False
+
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
                                    'max_bh', 'cc_iters', 'include_luminosity',
@@ -136,6 +139,48 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             partial(lb.compact_labels_table, reverse=True))(
                 lab8, keep, lin_kept)
         comp = jnp.where(keep, comp, f)
+    elif use_pallas or _FORCE_SORT_COMPACT:
+        # sorted-run compaction (TPU): one (label, lin) sort per labeling
+        # phase replaces the full-image compact scatters/gathers and the
+        # marker segment_max with cheap vector scans — pixels sorted by
+        # label form contiguous per-component runs in root-raster order,
+        # which is exactly the compaction order of compact_ids
+        gray0 = px_gray.astype(jnp.int32) if px_gray is not None \
+            else jnp.zeros_like(px_x)
+        iota_f = jnp.arange(f, dtype=jnp.int32)[None, :]
+        if double_threshold:
+            lab4 = cc(rasterize_all(lin), 4)
+            lab4_fg = jnp.where(valid_b, gather_all(lab4, lin), n)
+            slab, slin, smk, sgray = jax.lax.sort(
+                (lab4_fg, lin, (px_marker & valid_b).astype(jnp.int32), gray0),
+                dimension=1, num_keys=2)
+            s_fg = slab < n
+            # "any marker in my run": labels ascend, so a forward running
+            # max of marked labels hits mine iff a marker sits at or before
+            # me in the run; the reverse running max of negated labels
+            # covers markers after me
+            fwd = jax.lax.cummax(jnp.where(smk > 0, slab, -1), axis=1)
+            bwd = jax.lax.cummax(jnp.where(smk > 0, -slab, -(n + 1)), axis=1,
+                                 reverse=True)
+            keep_s = s_fg & ((fwd == slab) | (bwd == -slab))
+            lin_kept = jnp.where(keep_s, slin, n)
+            gray0 = sgray
+        else:
+            lin_kept = lin
+        lab8 = cc(rasterize_all(lin_kept), 8)
+        lab8_fg = jnp.where(lin_kept < n, gather_all(lab8, lin_kept), n)
+        slab8, slin8, sgray8 = jax.lax.sort((lab8_fg, lin_kept, gray0),
+                                            dimension=1, num_keys=2)
+        keep = slab8 < n
+        new_run = keep & ((iota_f == 0) |
+                          (slab8 != jnp.roll(slab8, 1, axis=1)))
+        n_components = jnp.sum(new_run.astype(jnp.int32), axis=1)
+        comp_asc = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1
+        comp = jnp.where(keep, n_components[:, None] - 1 - comp_asc, f)
+        px_x = slin8 % w
+        px_y = slin8 // w
+        gray_in = sgray8
+        seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
     else:
         mask = rasterize_all(lin)
         if double_threshold:
@@ -155,9 +200,10 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         lab8 = cc(mask, 8)
         lab8_fg = gather_all(lab8, lin_kept)
         comp, n_components = compact_ids(lab8_fg, keep, lin_kept, reverse=True)
-    seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
-    gray_in = px_gray.astype(jnp.int32) if px_gray is not None \
-        else jnp.zeros_like(px_x)
+    if use_table or not (use_pallas or _FORCE_SORT_COMPACT):
+        seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
+        gray_in = px_gray.astype(jnp.int32) if px_gray is not None \
+            else jnp.zeros_like(px_x)
 
     def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f):
         tables = lb.component_stats(
