@@ -460,6 +460,13 @@ def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y):
 _SWEEP_OVERRIDE = None
 
 
+def _devices_are_tpu():
+    try:
+        return any(d.platform == 'tpu' for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
 def _sweep_extents(pts, valid, angles):
     """Extents of candidate points along a set of directions.
 
@@ -482,9 +489,10 @@ def _sweep_extents(pts, valid, angles):
     return min_u, max_u, min_v, max_v
 
 
-@partial(jax.jit, static_argnames=('coarse_k', 'fine_k'))
+@partial(jax.jit, static_argnames=('coarse_k', 'fine_k',
+                                   'use_pallas_sweep'))
 def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
-                  coarse_k=96, fine_k=17):
+                  coarse_k=96, fine_k=17, use_pallas_sweep=None):
     """Minimum-area enclosing rectangle via coarse-to-fine angle sweep.
 
     Semantics of cv2.minAreaRect on the component's pixel-centre point set
@@ -510,9 +518,14 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
 
     # on TPU the sweeps run as a Pallas kernel (per-component angles resident
     # in VMEM; the XLA formulation pays (D, K, P) tensors of HBM traffic);
-    # _SWEEP_OVERRIDE exists for A/B tests
-    use_pallas_sweep = _SWEEP_OVERRIDE if _SWEEP_OVERRIDE is not None \
-        else jax.default_backend() == 'tpu'
+    # _SWEEP_OVERRIDE exists for A/B tests. The gate inspects jax.devices()
+    # rather than jax.default_backend(): after a mid-process platform switch
+    # (e.g. the driver's CPU-mesh dry run on a TPU-pinned interpreter) the
+    # latter can keep reporting the stale backend while the devices are CPU.
+    if _SWEEP_OVERRIDE is not None:
+        use_pallas_sweep = _SWEEP_OVERRIDE
+    elif use_pallas_sweep is None:
+        use_pallas_sweep = _devices_are_tpu()
 
     def fine_extents(p, vmask, ang):
         if use_pallas_sweep:

@@ -21,16 +21,29 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # modern API (supports check_vma); the experimental module is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ysmr_tpu.ops import assignment as asg
 
 
-def make_mesh(n_devices=None, axis='videos'):
-    """A 1-D device mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(n_devices=None, axis='videos', platform=None):
+    """A 1-D device mesh over the first ``n_devices`` devices.
+
+    :param platform: optional backend to draw devices from (e.g. 'cpu' for
+        the virtual-device dry run on a TPU-pinned interpreter — switching
+        ``jax_platforms`` after backend init has no effect, but asking for
+        the CPU backend's devices explicitly always works)
+    """
+    devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError('Requested a %d-device mesh but the %s backend '
+                             'has only %d devices' %
+                             (n_devices, platform or 'default', len(devices)))
         devices = devices[:n_devices]
     import numpy as np
     return Mesh(np.array(devices), (axis,))
@@ -54,6 +67,13 @@ def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
     from ysmr_tpu.pipeline import detect as det
     from ysmr_tpu.pipeline import tracker as trk
 
+    # the Pallas sweep gate must come from the mesh's actual devices: after a
+    # mid-process platform switch (CPU-mesh dry run on a TPU-pinned
+    # interpreter) global backend queries can disagree with the mesh
+    detect_kwargs = dict(detect_kwargs)
+    detect_kwargs.setdefault('use_pallas_sweep', all(
+        d.platform == 'tpu' for d in mesh.devices.flat))
+
     def per_video(video_frames, video_valid, state):
         gray = pp.bgr_to_gray(video_frames)
         blurred = pp.blur3(gray)
@@ -72,7 +92,7 @@ def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
     vspec = P('videos')
     fn = shard_map(sharded, mesh=mesh,
                    in_specs=(vspec, vspec, vspec),
-                   out_specs=(vspec, vspec))
+                   out_specs=(vspec, vspec), check_vma=False)
     return fn(frames, frame_valid, tracker_state)
 
 

@@ -55,10 +55,12 @@ def prepare_batch(frames_bgr, needs_sums=False):
 
 @partial(jax.jit, static_argnames=('mode', 'white_on_dark', 'offset',
                                    'double_delta', 'max_det', 'max_bh',
-                                   'cc_iters', 'include_luminosity'))
+                                   'cc_iters', 'include_luminosity',
+                                   'use_pallas_sweep'))
 def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
                         mode, white_on_dark, offset, double_delta,
-                        max_det, max_bh, cc_iters, include_luminosity):
+                        max_det, max_bh, cc_iters, include_luminosity,
+                        use_pallas_sweep=None):
     """Detection tables from preprocessed frames.
 
     :param gray: (T, H, W) int32
@@ -84,7 +86,8 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
                                      max_det=max_det, max_bh=max_bh)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
-                                edge_valid=tables['edge_valid'])
+                                edge_valid=tables['edge_valid'],
+                                use_pallas_sweep=use_pallas_sweep)
         valid = tables['count'] > 0
         if include_luminosity:
             # Deviation from the reference noted: the reference averages gray

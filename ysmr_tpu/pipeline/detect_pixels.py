@@ -212,7 +212,8 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             max_det=max_det, max_bh=max_bh)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
-                                edge_valid=tables['edge_valid'])
+                                edge_valid=tables['edge_valid'],
+                                use_pallas_sweep=use_pallas)
         det_valid = tables['count'] > 0
         if include_luminosity:
             lum = tables['lum_sum'].astype(jnp.float32) / \
