@@ -125,22 +125,27 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=3):
     return best
 
 
-def measure_dense():
-    """Dense-scene stretch (BASELINE config 5, single-chip slice): ~3.5k
-    simultaneous objects per 1228x922 frame, 16k track slots. Prints steady
-    detect+track throughput; the reference's per-contour Python loop is
-    impractical at this density, so no vs_baseline is reported."""
+def measure_dense(n_obj=16000):
+    """Dense-scene stretch (BASELINE config 5, single-chip slice): 10k+
+    simultaneous objects per 1228x922 frame, 16k det/track capacities.
+    Prints steady detect+track throughput; the reference's per-contour
+    Python loop is impractical at this density, so no vs_baseline is
+    reported. ``--dense N`` overrides the object count (e.g. 4000 for the
+    ~3.5k-object configuration)."""
     import jax
     from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
     from ysmr_tpu.pipeline import tracker as trk
 
-    b, f, n_obj = 16, 131072, 4000
+    b, f = 16, 262144
     rng = np.random.default_rng(0)
     cx = rng.uniform(10, W - 10, n_obj)
     cy = rng.uniform(10, H - 10, n_obj)
     vx = rng.uniform(-1, 1, n_obj)
     vy = rng.uniform(-1, 1, n_obj)
-    gx, gy = np.meshgrid(np.arange(5), np.arange(3))
+    # smaller rods at very high counts: beyond ~18k seeds the 5x3 blobs
+    # percolate (merge) and the distinct-component count drops again
+    blob_w, blob_h = (3, 2) if n_obj > 6000 else (5, 3)
+    gx, gy = np.meshgrid(np.arange(blob_w), np.arange(blob_h))
     packed = np.zeros((b, f), np.uint32)  # packed wire: lin | marker<<31
     counts = np.zeros(b, np.int32)
     for t in range(b):
@@ -153,7 +158,8 @@ def measure_dense():
         packed[t, :n] = lin[:n].astype(np.uint32) | np.uint32(1 << 31)
         counts[t] = n
     fv = np.ones(b, bool)
-    kw = dict(h=H, w=W, double_threshold=True, max_det=8192, max_bh=16,
+    max_det = 16384 if n_obj > 6000 else 8192
+    kw = dict(h=H, w=W, double_threshold=True, max_det=max_det, max_bh=16,
               cc_iters=32, include_luminosity=False, px_gray=None,
               use_pallas=jax.default_backend() == 'tpu')
     state = trk.init_tracker_state(16384, dims=2, use_gsff=False)
@@ -188,7 +194,10 @@ def measure_dense():
 
 def main():
     if '--dense' in sys.argv:
-        measure_dense()
+        i = sys.argv.index('--dense')
+        n_obj = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and \
+            sys.argv[i + 1].isdigit() else 16000
+        measure_dense(n_obj)
         return
     os.makedirs(CACHE_DIR, exist_ok=True)
     clip = os.path.join(CACHE_DIR, 'bench_clip.avi')
