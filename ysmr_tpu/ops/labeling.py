@@ -238,18 +238,24 @@ def compact_labels(labels, mask, max_det, reverse=True):
 
 
 @partial(jax.jit, static_argnames=('connectivity', 'max_iters'))
-def propagate_markers(mask, markers, connectivity=4, max_iters=64):
+def propagate_markers(mask, markers, connectivity=4, max_iters=64,
+                      labels=None):
     """scipy.ndimage.binary_propagation(markers, mask=mask) equivalent.
 
     Keeps the 4-connected components of ``mask`` that contain at least one
     marker pixel (track_eval.py:211-214; markers are a subset of the mask by
     construction of the double threshold).
 
+    :param labels: optional precomputed component labels of ``mask``
+        (min-linear-index semantics) — lets callers supply a batched/Pallas
+        labeling instead of the per-frame XLA one
     :return: (H, W) bool reconstructed mask
     """
     h, w = mask.shape
     n = h * w
-    labels = label_components(mask, connectivity=connectivity, max_iters=max_iters)
+    if labels is None:
+        labels = label_components(mask, connectivity=connectivity,
+                                  max_iters=max_iters)
     flat = labels.reshape(-1)
     marked = jax.ops.segment_max(
         (markers & mask).reshape(-1).astype(jnp.int32),

@@ -71,8 +71,9 @@ def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
     # mid-process platform switch (CPU-mesh dry run on a TPU-pinned
     # interpreter) global backend queries can disagree with the mesh
     detect_kwargs = dict(detect_kwargs)
-    detect_kwargs.setdefault('use_pallas_sweep', all(
-        d.platform == 'tpu' for d in mesh.devices.flat))
+    mesh_is_tpu = all(d.platform == 'tpu' for d in mesh.devices.flat)
+    detect_kwargs.setdefault('use_pallas_sweep', mesh_is_tpu)
+    detect_kwargs.setdefault('use_pallas_cc', mesh_is_tpu)
 
     def per_video(video_frames, video_valid, state):
         gray = pp.bgr_to_gray(video_frames)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ysmr_tpu.ops import labeling as lb
+from ysmr_tpu.ops.labeling import _devices_are_tpu as lb_devices_are_tpu
 from ysmr_tpu.ops import preprocess as pp
 
 
@@ -56,11 +57,11 @@ def prepare_batch(frames_bgr, needs_sums=False):
 @partial(jax.jit, static_argnames=('mode', 'white_on_dark', 'offset',
                                    'double_delta', 'max_det', 'max_bh',
                                    'cc_iters', 'include_luminosity',
-                                   'use_pallas_sweep'))
+                                   'use_pallas_sweep', 'use_pallas_cc'))
 def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
                         mode, white_on_dark, offset, double_delta,
                         max_det, max_bh, cc_iters, include_luminosity,
-                        use_pallas_sweep=None):
+                        use_pallas_sweep=None, use_pallas_cc=False):
     """Detection tables from preprocessed frames.
 
     :param gray: (T, H, W) int32
@@ -74,13 +75,26 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
     mask, markers = pp.detect_masks(blurred, mode, offset, double_delta,
                                     white_on_dark, global_thresholds=thresholds)
     mask = mask & frame_valid[:, None, None]
+    if use_pallas_cc:
+        from ysmr_tpu.ops.pallas_cc import label_components_whole_frame
+
+        def cc_batch(m, conn):
+            return label_components_whole_frame(m, connectivity=conn,
+                                                max_iters=cc_iters)
+    else:
+        def cc_batch(m, conn):
+            return jax.vmap(lambda a: lb.label_components(
+                a, connectivity=conn, max_iters=cc_iters))(m)
     if markers is not None:
         markers = markers & frame_valid[:, None, None]
-        mask = jax.vmap(lambda m, k: lb.propagate_markers(
-            m, k, connectivity=4, max_iters=cc_iters))(mask, markers)
+        lab4 = cc_batch(mask, 4)
+        mask = jax.vmap(lambda m, k, l: lb.propagate_markers(
+            m, k, connectivity=4, max_iters=cc_iters, labels=l))(
+                mask, markers, lab4)
 
-    def per_frame(m, g):
-        labels = lb.label_components(m, connectivity=8, max_iters=cc_iters)
+    labels8 = cc_batch(mask, 8)
+
+    def per_frame(m, g, labels):
         comp, n = lb.compact_labels(labels, m, max_det=max_det)
         tables = lb.component_tables(comp, m, gray=g if include_luminosity else None,
                                      max_det=max_det, max_bh=max_bh)
@@ -101,7 +115,7 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
             lum = None
         return rect, valid, n, lum
 
-    rect, valid, n_components, lum = jax.vmap(per_frame)(mask, gray)
+    rect, valid, n_components, lum = jax.vmap(per_frame)(mask, gray, labels8)
     xy = [rect['cx'], rect['cy']]
     if include_luminosity:
         xy.append(lum)
@@ -113,7 +127,8 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
             'n_components': n_components}
 
 
-def detect_batch(frames_bgr, frame_valid, config, threshold_state=None):
+def detect_batch(frames_bgr, frame_valid, config, threshold_state=None,
+                 use_pallas=None):
     """Full host-coordinated detection for one frame batch.
 
     For mean-threshold mode this performs the two-phase flow: device stats ->
@@ -138,10 +153,13 @@ def detect_batch(frames_bgr, frame_valid, config, threshold_state=None):
     else:
         gray, blurred = prepare_batch(frames_bgr, needs_sums=False)
         thresholds = jnp.zeros((t,), jnp.int32)
+    if use_pallas is None:
+        use_pallas = lb_devices_are_tpu()
     return detect_from_blurred(
         gray, blurred, frame_valid, thresholds,
         mode=config.mode, white_on_dark=config.white_on_dark,
         offset=config.offset, double_delta=config.double_delta,
         max_det=config.max_det, max_bh=config.max_bh,
         cc_iters=config.cc_iters,
-        include_luminosity=config.include_luminosity)
+        include_luminosity=config.include_luminosity,
+        use_pallas_sweep=use_pallas, use_pallas_cc=use_pallas)

@@ -323,7 +323,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     use_pallas=use_pallas, use_table=use_table_cc)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
-                                          threshold_state=threshold_state)
+                                          threshold_state=threshold_state,
+                                          use_pallas=use_pallas)
             state, emissions = trk.run_tracker_scan(
                 state, tables['det_xy'], tables['det_info'],
                 tables['det_valid'], **tracker_kwargs)
