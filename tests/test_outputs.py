@@ -111,3 +111,41 @@ def test_pixels_luminosity_matches_frames(rng):
     assert np.array_equal(np.asarray(got['det_valid']), np.asarray(ref['det_valid']))
     np.testing.assert_allclose(np.asarray(got['det_xy']), np.asarray(ref['det_xy']),
                                atol=1e-4)
+
+
+def test_track_bacteria_luminosity_end_to_end(tmp_path):
+    """Full luminosity pipeline: ILLUMINATION column written, values in the
+    reference's scale (gray/100, track_eval.py:290-300 — ours averages the
+    component's own pixels, MIGRATION.md item 5), tracking unaffected."""
+    import pandas as pd
+    from tests.test_e2e_parity import _make_settings, make_synthetic_video
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=40)
+    base = _make_settings(tmp_path)
+    out_a = tmp_path / 'plain'
+    out_a.mkdir()
+    res_plain = track_bacteria(video, settings=base, result_folder=str(out_a))
+    assert res_plain is not None
+    lum = _make_settings(tmp_path)
+    lum['include luminosity in tracking calculation'] = True
+    out_b = tmp_path / 'lum'
+    out_b.mkdir()
+    res = track_bacteria(video, settings=lum, result_folder=str(out_b))
+    assert res is not None
+    df, fps, fh, fw, csv = res
+    # the returned frame keeps the reference's 7-column dtype map (the
+    # reference's get_data usecols also drops ILLUMINATION on re-read,
+    # helper_file.py:880-889); the CSV artifact carries the column
+    assert list(df.columns) == ['TRACK_ID', 'POSITION_T', 'POSITION_X',
+                                'POSITION_Y', 'WIDTH', 'HEIGHT',
+                                'DEGREES_ANGLE']
+    on_disk = pd.read_csv(csv)
+    assert 'ILLUMINATION' in on_disk.columns
+    on_screen = on_disk[on_disk['WIDTH'] > 0]  # missing-object rows are zero
+    vals = on_screen['ILLUMINATION'].to_numpy(dtype=float)
+    assert (vals > 0.3).all() and (vals < 2.56).all()
+    # luminosity is a weak extra distance dimension — same scene, very
+    # similar track population
+    n_plain = res_plain[0]['TRACK_ID'].nunique()
+    n_lum = df['TRACK_ID'].nunique()
+    assert abs(n_plain - n_lum) <= max(2, n_plain // 10)
