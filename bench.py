@@ -171,7 +171,8 @@ def measure_dense(n_obj=16000):
                                  px_packed=packed, **kw)
         s2, em = trk.run_tracker_scan(state, out['det_xy'], out['det_info'],
                                       out['det_valid'], max_disappeared=30.0,
-                                      use_gsff=False)
+                                      use_gsff=False,
+                                      use_pallas_assign=kw['use_pallas'])
         # scalar-reduction fetch: guarantees completion on the tunnelled
         # backend without a bulk d2h inside the timing loop (CLAUDE.md)
         float(jnp.sum(em['mask']))

@@ -55,15 +55,25 @@ def greedy_assign(distance_matrix, obj_valid, det_valid):
         ``row_to_col``: (R,) int32, matched column per row or -1
         ``col_matched``: (C,) bool
     """
-    r, c = distance_matrix.shape
     row_min = jnp.min(distance_matrix, axis=1)
+    cand_col = jnp.argmin(distance_matrix, axis=1).astype(jnp.int32)
+    return greedy_assign_from_candidates(row_min, cand_col, obj_valid,
+                                         det_valid)
+
+
+def greedy_assign_from_candidates(row_min, cand_col, obj_valid, det_valid):
+    """Greedy matching from per-row (min distance, argmin column) — the
+    only projections of the distance matrix the matcher consumes. Callers
+    may produce them without materialising the matrix
+    (ops/pallas_assign.row_min_argmin)."""
+    r = row_min.shape[0]
+    c = det_valid.shape[0]
     row_min = jnp.where(obj_valid, row_min, BIG)
     # rank = position in the stable sort by row minimum (ties keep row order,
     # matching the ascending-object-id row layout of the reference)
     order = jnp.argsort(row_min, stable=True)
     rank = jnp.zeros((r,), dtype=jnp.int32).at[order].set(
         jnp.arange(r, dtype=jnp.int32))
-    cand_col = jnp.argmin(distance_matrix, axis=1).astype(jnp.int32)
     claim_ok = obj_valid & det_valid[cand_col]
     seg = jnp.where(claim_ok, cand_col, c)  # invalid claims -> overflow bucket
     winner_rank = jax.ops.segment_min(jnp.where(claim_ok, rank, r), seg,

@@ -74,6 +74,8 @@ def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
     mesh_is_tpu = all(d.platform == 'tpu' for d in mesh.devices.flat)
     detect_kwargs.setdefault('use_pallas_sweep', mesh_is_tpu)
     detect_kwargs.setdefault('use_pallas_cc', mesh_is_tpu)
+    tracker_kwargs = dict(tracker_kwargs)
+    tracker_kwargs.setdefault('use_pallas_assign', mesh_is_tpu)
 
     def per_video(video_frames, video_valid, state):
         gray = pp.bgr_to_gray(video_frames)

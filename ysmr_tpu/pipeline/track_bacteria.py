@@ -204,7 +204,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     use_gsff = not settings['disable gsff']
     dims = 3 if config.include_luminosity else 2
     max_slots = settings['max track slots']
-    tracker_kwargs = dict(max_disappeared=float(fps_of_file), use_gsff=use_gsff)
+    tracker_kwargs = dict(max_disappeared=float(fps_of_file), use_gsff=use_gsff,
+                          use_pallas_assign=use_pallas)
     if use_gsff:
         params = gsff_ops.GSFFParams(
             fps=fps_of_file,

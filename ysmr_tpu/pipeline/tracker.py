@@ -52,7 +52,7 @@ def init_tracker_state(max_slots, dims=2, use_gsff=False, gsff_params=None):
 
 def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
                           max_disappeared, use_gsff, gsff_gains, gsff_n_i,
-                          gsff_n_f, gsff_n_i0):
+                          gsff_n_f, gsff_n_i0, use_pallas_assign=False):
     """One frame of CentroidTracker.update semantics over the slot table."""
     active = state['active']
     ids = state['ids']
@@ -71,8 +71,15 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
     sortkey = jnp.where(active, ids, INT_MAX)
     perm = jnp.argsort(sortkey, stable=True)          # row -> slot
     row_valid = active[perm]
-    d = asg.pairwise_distances(pos[perm], row_valid, det_xy, det_valid)
-    res = asg.greedy_assign(d, row_valid, det_valid)
+    if use_pallas_assign:
+        from ysmr_tpu.ops.pallas_assign import row_min_argmin
+        row_min, cand_col = row_min_argmin(pos[perm], row_valid, det_xy,
+                                           det_valid)
+        res = asg.greedy_assign_from_candidates(row_min, cand_col, row_valid,
+                                                det_valid)
+    else:
+        d = asg.pairwise_distances(pos[perm], row_valid, det_xy, det_valid)
+        res = asg.greedy_assign(d, row_valid, det_valid)
     slot_to_col = jnp.full((s,), -1, jnp.int32).at[perm].set(res['row_to_col'])
     col_matched = res['col_matched']
 
@@ -162,10 +169,11 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
 
 
 @partial(jax.jit,
-         static_argnames=('max_disappeared', 'use_gsff', 'gsff_n_f', 'gsff_n_i0'))
+         static_argnames=('max_disappeared', 'use_gsff', 'gsff_n_f', 'gsff_n_i0',
+                          'use_pallas_assign'))
 def run_tracker_scan(state, det_xy, det_info, det_valid, *, max_disappeared,
                      use_gsff=False, gsff_gains=None, gsff_n_i=None, gsff_n_f=3,
-                     gsff_n_i0=10):
+                     gsff_n_i0=10, use_pallas_assign=False):
     """Scan the tracker over a batch of frames.
 
     :param state: tracker state pytree (carried between batches)
@@ -179,6 +187,7 @@ def run_tracker_scan(state, det_xy, det_info, det_valid, *, max_disappeared,
         return _tracker_frame_update(
             st, xy, inf, valid, max_disappeared=max_disappeared,
             use_gsff=use_gsff, gsff_gains=gsff_gains, gsff_n_i=gsff_n_i,
-            gsff_n_f=gsff_n_f, gsff_n_i0=gsff_n_i0)
+            gsff_n_f=gsff_n_f, gsff_n_i0=gsff_n_i0,
+            use_pallas_assign=use_pallas_assign)
 
     return jax.lax.scan(step, state, (det_xy, det_info, det_valid))
