@@ -149,3 +149,23 @@ def test_track_bacteria_luminosity_end_to_end(tmp_path):
     n_plain = res_plain[0]['TRACK_ID'].nunique()
     n_lum = df['TRACK_ID'].nunique()
     assert abs(n_plain - n_lum) <= max(2, n_plain // 10)
+
+
+def test_jax_profiler_trace_written(tmp_path):
+    """'jax profiler dir' writes a device-level trace of the tracking run
+    (SURVEY.md section 5: the reference only has a per-frame fps timer)."""
+    import os
+    from tests.test_e2e_parity import _make_settings, make_synthetic_video
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=40)
+    settings = _make_settings(tmp_path)
+    trace_dir = str(tmp_path / 'trace')
+    settings['jax profiler dir'] = trace_dir
+    out = tmp_path / 'out'
+    out.mkdir()
+    res = track_bacteria(video, settings=settings, result_folder=str(out))
+    assert res is not None
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, 'no profiler trace files written'
