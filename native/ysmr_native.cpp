@@ -354,11 +354,18 @@ namespace {
 // track_eval.py:189-208). Horizontal taps run over a replicate-padded float
 // row; 11 such rows live in a ring consumed by the row-wise vertical pass.
 struct MeanRing {
-    std::vector<float> ring;
+    std::vector<float> ring;   // 16-row ring (output y consumes y-5..y+8)
     std::vector<float> padrow;
     int64_t w = 0;
+    int64_t next_h = 0;        // first row not yet h-passed
+    int64_t img_h = 0;
 
-    float* slot(int64_t y) { return ring.data() + (y % 11) * w; }
+    float* slot(int64_t y) { return ring.data() + (y & 15) * w; }
+
+    void hpass_upto(int64_t yy) {
+        if (yy >= img_h) yy = img_h - 1;
+        while (next_h <= yy) hpass(next_h++);
+    }
 
     void hpass(int64_t y) {
         const uint8_t* row = tl_blur.data() + y * w;
@@ -398,14 +405,16 @@ struct MeanRing {
 
     void start(int64_t height, int64_t width) {
         w = width;
-        ring.resize(11 * w);
+        img_h = height;
+        next_h = 0;
+        ring.resize(16 * w);
         padrow.resize(w + 10);
-        for (int64_t y = 0; y < std::min<int64_t>(6, height); ++y) hpass(y);
+        hpass_upto(5);
     }
 
     // mean row y (u8, rint nearest-even) into out; call with increasing y
     void mean_row(int64_t h, int64_t y, uint8_t* out) {
-        if (y + 5 < h && y + 5 >= 6) hpass(y + 5);
+        hpass_upto(y + 5);
         const float* rows[11];
         for (int k = 0; k < 11; ++k) {
             int64_t yy = y + k - 5;
@@ -432,6 +441,51 @@ struct MeanRing {
             float acc = 0.0f;
             for (int k = 0; k < 11; ++k) acc += rows[k][x] * kGauss11[k];
             out[x] = static_cast<uint8_t>(static_cast<int32_t>(nearbyintf(acc)));
+        }
+    }
+
+    // 4 consecutive INTERIOR output rows (y >= 5 and y + 8 < h): the 14
+    // source rows are loaded once per x-chunk and feed all four
+    // accumulators, cutting the vertical pass's L2 read amplification from
+    // 11x to 3.5x. Identical per-row accumulation order -> bit-equal to
+    // mean_row.
+    void mean_rows4(int64_t h, int64_t y, uint8_t* out, int64_t stride) {
+        hpass_upto(y + 8);
+        const float* rows[14];
+        for (int k = 0; k < 14; ++k) rows[k] = slot(y - 5 + k);
+        int64_t x = 0;
+#ifdef YSMR_AVX512
+        for (; x + 16 <= w; x += 16) {
+            __m512 r[14];
+            for (int k = 0; k < 14; ++k) r[k] = _mm512_loadu_ps(rows[k] + x);
+            __m512 a0 = _mm512_mul_ps(r[0], _mm512_set1_ps(kGauss11[0]));
+            __m512 a1 = _mm512_mul_ps(r[1], _mm512_set1_ps(kGauss11[0]));
+            __m512 a2 = _mm512_mul_ps(r[2], _mm512_set1_ps(kGauss11[0]));
+            __m512 a3 = _mm512_mul_ps(r[3], _mm512_set1_ps(kGauss11[0]));
+            for (int k = 1; k < 11; ++k) {
+                const __m512 wk = _mm512_set1_ps(kGauss11[k]);
+                a0 = _mm512_fmadd_ps(r[k], wk, a0);
+                a1 = _mm512_fmadd_ps(r[k + 1], wk, a1);
+                a2 = _mm512_fmadd_ps(r[k + 2], wk, a2);
+                a3 = _mm512_fmadd_ps(r[k + 3], wk, a3);
+            }
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x),
+                             _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a0)));
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + stride + x),
+                             _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a1)));
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 2 * stride + x),
+                             _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a2)));
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 3 * stride + x),
+                             _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a3)));
+        }
+#endif
+        for (; x < w; ++x) {
+            for (int j = 0; j < 4; ++j) {
+                float acc = 0.0f;
+                for (int k = 0; k < 11; ++k) acc += rows[j + k][x] * kGauss11[k];
+                out[j * stride + x] =
+                    static_cast<uint8_t>(static_cast<int32_t>(nearbyintf(acc)));
+            }
         }
     }
 };
@@ -527,7 +581,14 @@ void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
         tl_mean.resize(h * w);
         static thread_local MeanRing ring;
         ring.start(h, w);
-        for (int64_t y = 0; y < h; ++y) {
+        int64_t y = 0;
+        for (; y < std::min<int64_t>(5, h); ++y) {
+            ring.mean_row(h, y, tl_mean.data() + y * w);
+        }
+        for (; y + 3 < h && y + 8 < h; y += 4) {
+            ring.mean_rows4(h, y, tl_mean.data() + y * w, w);
+        }
+        for (; y < h; ++y) {
             ring.mean_row(h, y, tl_mean.data() + y * w);
         }
     }
