@@ -95,3 +95,28 @@ def test_ysmr_skips_finished_files(tmp_path):
     open(path, 'w').write('TRACK_ID\n0\n')
     assert analyse(path, settings=settings,
                    result_folder=str(tmp_path)) is None
+
+
+@pytest.mark.e2e
+def test_ysmr_multiprocess_pool(tmp_path):
+    """mp.Pool dispatch (spawn context, maxtasksperchild=1 — reference
+    main.py:281-313): the good video is processed, the broken path is
+    isolated into the failure tally without aborting the batch
+    (main.py:292-317). One worker video keeps the spawn-import cost of this
+    test bounded on slow hosts."""
+    from tests.test_e2e_parity import make_synthetic_video
+    from ysmr_tpu.main import ysmr
+    v1 = make_synthetic_video(str(tmp_path / 'a.avi'), n_frames=60, seed=3)
+    v_bad = str(tmp_path / 'missing.avi')  # does not exist
+    settings = _settings_for(tmp_path, v1)
+    settings['minimal length in seconds'] = 1.0
+    settings['limit track length to x seconds'] = 1.5
+    settings['collate results csv to xlsx'] = False
+    result_folder = str(tmp_path / 'results_mp')
+    os.makedirs(result_folder)
+    finished = ysmr(paths=[v1, v_bad], settings=settings,
+                    result_folder=result_folder, multiprocess=True)
+    assert finished is not None
+    assert os.path.isfile(os.path.join(result_folder, 'a_statistics.csv'))
+    done = {p: r for p, r in finished}
+    assert done.get(v_bad) is None

@@ -235,7 +235,13 @@ def ysmr(paths=None, settings=None, result_folder=None, multiprocess=False):
         os.makedirs(result_folder, exist_ok=True)
 
     if multiprocess:
-        pool = mp.Pool(maxtasksperchild=1)
+        # spawn, not fork: the parent may have initialised JAX (XLA runtime
+        # threads do not survive fork); maxtasksperchild=1 keeps the
+        # reference's per-video worker isolation (main.py:283). Note that on
+        # a host with one shared accelerator, per-video device parallelism
+        # belongs to the sharded path (parallel/sharding.py) — pool workers
+        # on such hosts fall back to their own backends.
+        pool = mp.get_context('spawn').Pool(maxtasksperchild=1)
         for path in paths:
             results[path] = pool.apply_async(analyse, args=(path, settings,
                                                             result_folder))
