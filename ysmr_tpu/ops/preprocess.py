@@ -22,7 +22,6 @@ tests/test_preprocess.py):
 
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -17,8 +17,6 @@ The reference's only parallelism is a process pool with one worker per video
   sharded; only O(R) crosses the interconnect.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 try:  # modern API (supports check_vma); the experimental module is deprecated
