@@ -169,3 +169,21 @@ def test_jax_profiler_trace_written(tmp_path):
     for root, _dirs, files in os.walk(trace_dir):
         found.extend(files)
     assert found, 'no profiler trace files written'
+
+
+def test_track_bacteria_deterministic(tmp_path):
+    """Two identical runs produce byte-identical _list.csv artifacts (decode
+    threading, device compute, and the final sort are all deterministic)."""
+    from tests.test_e2e_parity import _make_settings, make_synthetic_video
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=40)
+    outs = []
+    for tag in ('r1', 'r2'):
+        settings = _make_settings(tmp_path)
+        folder = tmp_path / tag
+        folder.mkdir()
+        res = track_bacteria(video, settings=settings,
+                             result_folder=str(folder))
+        assert res is not None
+        outs.append(open(res[4], 'rb').read())
+    assert outs[0] == outs[1]
