@@ -184,13 +184,7 @@ def measure_dense(n_obj=16000):
         t0 = time.perf_counter()
         step()
         best = max(best, b / (time.perf_counter() - t0))
-    print(json.dumps({
-        'metric': 'dense_scene_fps_1228x922_{}obj_16k_slots'.format(
-            int(n_comp[0])),
-        'value': round(best, 2),
-        'unit': 'frames/s',
-        'vs_baseline': None,
-    }))
+    return int(n_comp[0]), round(best, 2)
 
 
 def main():
@@ -198,7 +192,13 @@ def main():
         i = sys.argv.index('--dense')
         n_obj = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and \
             sys.argv[i + 1].isdigit() else 16000
-        measure_dense(n_obj)
+        n_comp, fps = measure_dense(n_obj)
+        print(json.dumps({
+            'metric': 'dense_scene_fps_1228x922_{}obj_16k_slots'.format(n_comp),
+            'value': fps,
+            'unit': 'frames/s',
+            'vs_baseline': None,
+        }))
         return
     os.makedirs(CACHE_DIR, exist_ok=True)
     clip = os.path.join(CACHE_DIR, 'bench_clip.avi')
@@ -241,6 +241,14 @@ def main():
         print('fast-decode measurement failed: {}'.format(exc), file=sys.stderr)
         fast_fps = None
 
+    # dense-scene stretch (BASELINE config 5) as secondary fields so the
+    # recorded bench carries the scale story too
+    try:
+        dense_objects, dense_fps = measure_dense()
+    except Exception as exc:
+        print('dense measurement failed: {}'.format(exc), file=sys.stderr)
+        dense_objects = dense_fps = None
+
     vs_baseline = (ours_fps / ref_fps) if ref_fps else None
     print(json.dumps({
         'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
@@ -250,6 +258,8 @@ def main():
         'fast_decode_value': round(fast_fps, 2) if fast_fps else None,
         'fast_decode_vs_baseline':
             round(fast_fps / ref_fps, 2) if (fast_fps and ref_fps) else None,
+        'dense_scene_objects_per_frame': dense_objects,
+        'dense_scene_fps': dense_fps,
     }))
 
 
