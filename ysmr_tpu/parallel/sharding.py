@@ -110,8 +110,14 @@ def sharded_greedy_assign(mesh, obj_xy, obj_valid, det_xy, det_valid):
     """
     r = obj_xy.shape[0]
     c = det_xy.shape[0]
+    mesh_is_tpu = all(d.platform == 'tpu' for d in mesh.devices.flat)
 
     def local2(obj_xy_l, obj_valid_l, det_xy_r, det_valid_r):
+        if mesh_is_tpu:
+            # fused streaming search: no per-shard (R/n, C) matrix
+            from ysmr_tpu.ops.pallas_assign import row_min_argmin
+            return row_min_argmin(obj_xy_l, obj_valid_l, det_xy_r,
+                                  det_valid_r)
         d = asg.pairwise_distances(obj_xy_l, obj_valid_l, det_xy_r, det_valid_r)
         row_min = jnp.min(d, axis=1)
         cand_col = jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -119,7 +125,7 @@ def sharded_greedy_assign(mesh, obj_xy, obj_valid, det_xy, det_valid):
 
     fn = shard_map(local2, mesh=mesh,
                    in_specs=(P('videos'), P('videos'), P(), P()),
-                   out_specs=(P('videos'), P('videos')))
+                   out_specs=(P('videos'), P('videos')), check_vma=False)
     row_min, cand_col = fn(obj_xy, obj_valid, det_xy, det_valid)
     # winner resolution on the gathered O(R) vectors (replicated, cheap)
     row_min = jnp.where(obj_valid, row_min, asg.BIG)
