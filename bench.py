@@ -95,7 +95,7 @@ def make_clip(path, n_frames, seed=SEED):
 
 
 def measure_reference(clip, result_folder):
-    """Wall-clock fps of the reference track_bacteria on the clip."""
+    """Wall-clock fps and track count of the reference track_bacteria."""
     if '/root/reference' not in sys.path:
         sys.path.insert(0, '/root/reference')
     from ysmr.track_eval import track_bacteria as ref_track
@@ -104,17 +104,20 @@ def measure_reference(clip, result_folder):
     res = ref_track(clip, settings=settings, result_folder=result_folder)
     elapsed = time.perf_counter() - t0
     assert res is not None, 'reference run failed'
-    return N_FRAMES / elapsed
+    n_tracks = int(res[0]['TRACK_ID'].nunique())
+    return N_FRAMES / elapsed, n_tracks
 
 
 def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=3):
-    """Best-of-``reps`` wall-clock fps (tunnel bandwidth varies run to run)."""
+    """Best-of-``reps`` wall-clock fps (tunnel bandwidth varies run to run)
+    plus the run's track count (parity guard)."""
     from ysmr_tpu.pipeline.track_bacteria import track_bacteria
     warm = bench_settings({'minimal frame count': 16, **(extra or {})})
     res = track_bacteria(warmup_clip, settings=warm, result_folder=result_folder)
     assert res is not None, 'warmup run failed'
     settings = bench_settings(extra)
     best = 0.0
+    n_tracks = None
     for _ in range(reps):
         t0 = time.perf_counter()
         res = track_bacteria(clip, settings=settings,
@@ -122,7 +125,8 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=3):
         elapsed = time.perf_counter() - t0
         assert res is not None, 'benchmark run failed'
         best = max(best, N_FRAMES / elapsed)
-    return best
+        n_tracks = int(res[0]['TRACK_ID'].nunique())
+    return best, n_tracks
 
 
 def measure_dense(n_obj=16000):
@@ -209,18 +213,22 @@ def main():
         make_clip(warmup_clip, N_WARMUP_FRAMES, seed=SEED + 1)
 
     baseline_file = os.path.join(CACHE_DIR, 'reference_baseline.json')
-    ref_fps = None
+    ref_fps = ref_tracks = None
     if os.path.isfile(baseline_file):
         try:
-            ref_fps = json.load(open(baseline_file))['reference_fps']
+            loaded = json.load(open(baseline_file))
+            ref_fps = loaded['reference_fps']
+            ref_tracks = loaded.get('reference_tracks')
         except Exception:
             ref_fps = None
     if ref_fps is None and os.path.isdir('/root/reference'):
         result_folder = os.path.join(CACHE_DIR, 'ref_results')
         os.makedirs(result_folder, exist_ok=True)
         try:
-            ref_fps = measure_reference(clip, result_folder)
-            json.dump({'reference_fps': ref_fps}, open(baseline_file, 'w'))
+            ref_fps, ref_tracks = measure_reference(clip, result_folder)
+            json.dump({'reference_fps': ref_fps,
+                       'reference_tracks': ref_tracks},
+                      open(baseline_file, 'w'))
         except Exception as exc:  # baseline unavailable; still report ours
             print('reference baseline failed: {}'.format(exc), file=sys.stderr)
             ref_fps = None
@@ -229,14 +237,14 @@ def main():
     os.makedirs(result_folder, exist_ok=True)
     # headline: exact decode mode — pixel-identical input to the reference,
     # hence identical track counts/statistics (the parity requirement)
-    ours_fps = measure_ours(clip, warmup_clip, result_folder)
+    ours_fps, ours_tracks = measure_ours(clip, warmup_clip, result_folder)
     # secondary: fast MJPG grayscale decode (gray within +-2 of exact; on
     # this clip 329 tracks vs the reference's 328 — see io/video.py)
     fast_folder = os.path.join(CACHE_DIR, 'our_results_fast')
     os.makedirs(fast_folder, exist_ok=True)
     try:
-        fast_fps = measure_ours(clip, warmup_clip, fast_folder,
-                                extra={'decode mode': 'fast'})
+        fast_fps, _ = measure_ours(clip, warmup_clip, fast_folder,
+                                   extra={'decode mode': 'fast'})
     except Exception as exc:
         print('fast-decode measurement failed: {}'.format(exc), file=sys.stderr)
         fast_fps = None
@@ -260,6 +268,9 @@ def main():
             round(fast_fps / ref_fps, 2) if (fast_fps and ref_fps) else None,
         'dense_scene_objects_per_frame': dense_objects,
         'dense_scene_fps': dense_fps,
+        'track_count': ours_tracks,
+        'identical_track_count_vs_reference':
+            (ours_tracks == ref_tracks) if ref_tracks else None,
     }))
 
 
