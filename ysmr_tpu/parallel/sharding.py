@@ -22,7 +22,12 @@ import jax.numpy as jnp
 try:  # modern API (supports check_vma); the experimental module is deprecated
     from jax import shard_map
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(*args, check_vma=None, **kwargs):
+        if check_vma is not None:
+            kwargs['check_rep'] = check_vma  # legacy spelling
+        return _shard_map_legacy(*args, **kwargs)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ysmr_tpu.ops import assignment as asg
@@ -108,8 +113,6 @@ def sharded_greedy_assign(mesh, obj_xy, obj_valid, det_xy, det_valid):
     :param det_xy: (C, K) float32, replicated
     :return: same contract as greedy_assign
     """
-    r = obj_xy.shape[0]
-    c = det_xy.shape[0]
     mesh_is_tpu = all(d.platform == 'tpu' for d in mesh.devices.flat)
 
     def local2(obj_xy_l, obj_valid_l, det_xy_r, det_valid_r):
@@ -127,17 +130,7 @@ def sharded_greedy_assign(mesh, obj_xy, obj_valid, det_xy, det_valid):
                    in_specs=(P('videos'), P('videos'), P(), P()),
                    out_specs=(P('videos'), P('videos')), check_vma=False)
     row_min, cand_col = fn(obj_xy, obj_valid, det_xy, det_valid)
-    # winner resolution on the gathered O(R) vectors (replicated, cheap)
-    row_min = jnp.where(obj_valid, row_min, asg.BIG)
-    order = jnp.argsort(row_min, stable=True)
-    rank = jnp.zeros((r,), dtype=jnp.int32).at[order].set(
-        jnp.arange(r, dtype=jnp.int32))
-    claim_ok = obj_valid & det_valid[cand_col]
-    seg = jnp.where(claim_ok, cand_col, c)
-    winner_rank = jax.ops.segment_min(jnp.where(claim_ok, rank, r), seg,
-                                      num_segments=c + 1)
-    matched = claim_ok & (rank == winner_rank[cand_col])
-    row_to_col = jnp.where(matched, cand_col, -1)
-    col_matched = jax.ops.segment_max(
-        matched.astype(jnp.int32), seg, num_segments=c + 1)[:c] > 0
-    return {'row_to_col': row_to_col, 'col_matched': col_matched}
+    # winner resolution on the gathered O(R) vectors (replicated, cheap);
+    # shared with the single-device matcher so the two paths cannot diverge
+    return asg.greedy_assign_from_candidates(row_min, cand_col, obj_valid,
+                                             det_valid)

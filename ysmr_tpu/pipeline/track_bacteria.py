@@ -225,13 +225,28 @@ def track_bacteria(video_path, settings=None, result_folder=None):
 
     import time
     profiler_dir = settings.get('jax profiler dir') or ''
+
+    def stop_profiler():
+        if not profiler_dir:
+            return
+        import jax.profiler
+        try:
+            jax.profiler.stop_trace()
+            logger.info('jax profiler trace written to %s', profiler_dir)
+        except RuntimeError:
+            pass  # already stopped
+
     if profiler_dir:
         # device-level tracing on top of the 'profile stages' wall-clock
         # split (SURVEY.md section 5: the reference only has a per-frame fps
         # timer; here the full XLA timeline comes from the jax profiler)
         import jax.profiler
         os.makedirs(profiler_dir, exist_ok=True)
-        jax.profiler.start_trace(profiler_dir)
+        try:
+            jax.profiler.start_trace(profiler_dir)
+        except RuntimeError as err:
+            logger.warning('jax profiler not started: %s', err)
+            profiler_dir = ''
     t_start = time.perf_counter()
     pending = []  # accumulated column arrays awaiting flush
     # every compacted part, kept for the in-memory final sort — bounded:
@@ -417,6 +432,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
 
     last_object_id = int(np.asarray(state['next_id'])) - 1
     if last_object_id < 0:
+        stop_profiler()
         logger.warning('Did not track any objects. File: %s', video_path)
         return None
 
@@ -429,13 +445,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     else:
         df_for_eval = sort_list(file_path=list_name, save_file=save_sorted)
     elapsed = time.perf_counter() - t_start
-    if profiler_dir:
-        import jax.profiler
-        try:
-            jax.profiler.stop_trace()
-            logger.info('jax profiler trace written to %s', profiler_dir)
-        except RuntimeError:
-            pass
+    stop_profiler()
     analysis_fps = frames_processed / elapsed if elapsed > 0 else float('inf')
     if (settings['verbose'] or settings.get('profile stages')) and frames_processed:
         logger.info(
