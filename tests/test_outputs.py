@@ -187,3 +187,26 @@ def test_track_bacteria_deterministic(tmp_path):
         assert res is not None
         outs.append(open(res[4], 'rb').read())
     assert outs[0] == outs[1]
+
+
+def test_jax_profiler_stops_on_zero_track_return(tmp_path):
+    """The zero-tracks early return must stop the profiler too; a leaked
+    trace would make the next run's start_trace raise."""
+    import cv2
+    import numpy as np
+    from tests.test_e2e_parity import _make_settings
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    video = str(tmp_path / 'blank.avi')
+    wtr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 30,
+                          (160, 120))
+    for _ in range(40):
+        wtr.write(np.full((120, 160, 3), 40, np.uint8))
+    wtr.release()
+    settings = _make_settings(tmp_path)
+    settings['jax profiler dir'] = str(tmp_path / 'trace')
+    for tag in ('r1', 'r2'):
+        out = tmp_path / tag
+        out.mkdir()
+        res = track_bacteria(video, settings=settings,
+                             result_folder=str(out))
+        assert res is None  # nothing tracked, clean early return both times
