@@ -51,8 +51,9 @@ def _make_settings(tmp_path, **overrides):
 
 
 def make_synthetic_video(path, n_frames=120, w=384, h=288, fps=30, seed=7,
-                         n_bugs=10):
-    """Bacteria-like bright rods drifting over a noisy dark background.
+                         n_bugs=10, dark_bacteria=False):
+    """Bacteria-like bright rods drifting over a noisy dark background
+    (or, with ``dark_bacteria``, dark rods on a light background).
 
     Blobs stay in-frame (no wrap-around teleports) and use well-separated
     sizes so selection-fence decisions are not knife-edge across the two
@@ -64,15 +65,16 @@ def make_synthetic_video(path, n_frames=120, w=384, h=288, fps=30, seed=7,
     vel[:3] = 0.0  # a few immotile bugs
     axes = [(4, 2), (5, 2), (6, 3)]
     ang = rng.uniform(0, 180, n_bugs)
+    bg_mean, fg = (215, 55) if dark_bacteria else (40, 200)
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), fps, (w, h))
     assert writer.isOpened()
     for t in range(n_frames):
-        frame = rng.normal(40, 4, (h, w)).clip(0, 255).astype(np.uint8)
+        frame = rng.normal(bg_mean, 4, (h, w)).clip(0, 255).astype(np.uint8)
         for i in range(n_bugs):
             p = pos[i] + vel[i] * t
             cv2.ellipse(frame, (int(round(p[0])), int(round(p[1]))),
                         axes[i % 3], float(ang[i] + 3 * t * (i % 2)), 0, 360,
-                        200, -1)
+                        fg, -1)
         writer.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
     writer.release()
     return path
@@ -95,6 +97,9 @@ def _run_reference_pipeline(video, settings, result_folder):
     res = ref_track(video, settings=dict(settings), result_folder=result_folder)
     assert res is not None, 'reference track_bacteria failed'
     df, fps, f_h, f_w, csv = res
+    # the reference's select_tracks prunes the frame IN PLACE; keep the raw
+    # tracker output for the 'list' comparison
+    df_raw = df.copy()
     sel = ref_select(path_to_file=csv, df=df, results_directory=result_folder,
                      fps=fps, frame_height=f_h, frame_width=f_w,
                      settings=dict(settings))
@@ -102,7 +107,8 @@ def _run_reference_pipeline(video, settings, result_folder):
     out = ref_eval(path_to_file=csv, results_directory=result_folder, df=sel,
                    settings=dict(settings), fps=fps)
     assert out is not None
-    return {'list': df, 'selected': sel, 'analysed': out[0], 'stats': out[1]}
+    return {'list': df_raw, 'selected': sel, 'analysed': out[0],
+            'stats': out[1]}
 
 
 def _run_our_pipeline(video, settings, result_folder):
@@ -112,6 +118,7 @@ def _run_our_pipeline(video, settings, result_folder):
     res = track_bacteria(video, settings=dict(settings), result_folder=result_folder)
     assert res is not None, 'track_bacteria failed'
     df, fps, f_h, f_w, csv = res
+    df_raw = df.copy()  # select_tracks prunes in place (reference parity)
     sel = select_tracks(path_to_file=csv, df=df, results_directory=result_folder,
                         fps=fps, frame_height=f_h, frame_width=f_w,
                         settings=dict(settings))
@@ -119,7 +126,8 @@ def _run_our_pipeline(video, settings, result_folder):
     out = evaluate_tracks(path_to_file=csv, results_directory=result_folder,
                           df=sel, settings=dict(settings), fps=fps)
     assert out is not None
-    return {'list': df, 'selected': sel, 'analysed': out[0], 'stats': out[1]}
+    return {'list': df_raw, 'selected': sel, 'analysed': out[0],
+            'stats': out[1]}
 
 
 def _compare(ours, ref):
@@ -196,3 +204,52 @@ def test_e2e_parity_mean_threshold_no_gsff(tmp_path):
     ref = _run_reference_pipeline(video, settings, ref_dir)
     ours = _run_our_pipeline(video, settings, our_dir)
     _compare(ours, ref)
+
+
+@pytest.mark.e2e
+def test_e2e_parity_dark_bacteria(tmp_path):
+    """Dark bacteria on light background: THRESH_BINARY_INV chain incl. the
+    reference's in-place offset negation (track_eval.py:125-131) and its
+    double-threshold degeneration (the marker threshold is WEAKER for dark
+    videos, and binary_propagation keeps input pixels — see
+    ops/preprocess.resolve_detection_rule). Raw tracker output must match
+    row for row; the selection/statistics chain is covered by the bright
+    tests (this clip sits on a selection-fence knife edge).
+    """
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), seed=19,
+                                 dark_bacteria=True)
+    # offset 10: even the reference's effective (weaker) marker threshold at
+    # offset-delta clears the background noise, so the comparison tests the
+    # degeneration semantics instead of chaotic noise matching
+    settings = _make_settings(
+        tmp_path, **{'white bacteria on dark background': False,
+                     'threshold offset for detection': 10})
+    ref_dir = str(tmp_path / 'ref_results')
+    our_dir = str(tmp_path / 'our_results')
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import ysmr.track_eval as ref_te
+    except Exception:
+        pytest.skip('reference implementation not available')
+    ref_te.violin_plot = lambda **kwargs: None
+    ref_res = ref_te.track_bacteria(video, settings=dict(settings),
+                                    result_folder=ref_dir)
+    assert ref_res is not None
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    our_res = track_bacteria(video, settings=dict(settings),
+                             result_folder=our_dir)
+    assert our_res is not None
+    ldf_r, ldf_o = ref_res[0], our_res[0]
+    assert ldf_o.shape[0] == ldf_r.shape[0]
+    assert ldf_o['TRACK_ID'].tolist() == ldf_r['TRACK_ID'].tolist()
+    assert ldf_o['POSITION_T'].tolist() == ldf_r['POSITION_T'].tolist()
+    np.testing.assert_allclose(ldf_o['POSITION_X'], ldf_r['POSITION_X'],
+                               atol=0.08)
+    np.testing.assert_allclose(ldf_o['POSITION_Y'], ldf_r['POSITION_Y'],
+                               atol=0.08)
+    np.testing.assert_allclose(ldf_o['WIDTH'] * ldf_o['HEIGHT'],
+                               ldf_r['WIDTH'] * ldf_r['HEIGHT'],
+                               atol=0.08, rtol=0.01)

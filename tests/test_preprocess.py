@@ -94,3 +94,28 @@ def test_detect_mode_mapping():
         == 'adaptive_double'
     assert pp.detect_mode_from_settings({'adaptive double threshold': 0.0}) == 'adaptive'
     assert pp.detect_mode_from_settings({'adaptive double threshold': -1.0}) == 'mean'
+
+
+def test_resolve_detection_rule_dark_degeneration():
+    """Dark-mode double threshold degenerates to a single threshold at the
+    marker offset (reference track_eval.py:125-131 + :200-208 with scipy
+    binary_propagation keeping input pixels); bright mode is unchanged."""
+    from ysmr_tpu.ops.preprocess import resolve_detection_rule
+    base = {'adaptive double threshold': 2.0,
+            'threshold offset for detection': 5,
+            'white bacteria on dark background': True}
+    assert resolve_detection_rule(base) == ('adaptive_double', 5)
+    dark = dict(base, **{'white bacteria on dark background': False})
+    # effective offset -5; marker C = -(-5 + 2) = 3 is weaker than mask C=5
+    assert resolve_detection_rule(dark) == ('adaptive', -3)
+    # fractional delta that does not move the integer floor keeps the
+    # subset interpretation
+    dark_frac = dict(dark, **{'adaptive double threshold': 0.4,
+                              'threshold offset for detection': 5.5})
+    mode, off = resolve_detection_rule(dark_frac)
+    assert mode == 'adaptive_double'
+    # single and mean modes pass through
+    single = dict(base, **{'adaptive double threshold': 0.0})
+    assert resolve_detection_rule(single) == ('adaptive', 5)
+    mean = dict(base, **{'adaptive double threshold': -1.0})
+    assert resolve_detection_rule(mean) == ('mean', 5)

@@ -25,12 +25,10 @@ class HostPreprocessor:
     """Per-frame host preprocessing state (threshold mode + moving average)."""
 
     def __init__(self, settings, fps, max_fg=16384):
-        from ysmr_tpu.ops.preprocess import (detect_mode_from_settings,
-                                             effective_threshold_offset)
+        from ysmr_tpu.ops.preprocess import resolve_detection_rule
         self.logger = logging.getLogger('ysmr').getChild(__name__)
-        self.mode = detect_mode_from_settings(settings)
+        self.mode, self.offset = resolve_detection_rule(settings)
         self.white_on_dark = settings['white bacteria on dark background']
-        self.offset = effective_threshold_offset(settings)
         self.double_delta = settings['adaptive double threshold']
         self.include_luminosity = settings['include luminosity in tracking calculation']
         self.color_filter = settings['color filter']

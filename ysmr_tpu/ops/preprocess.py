@@ -219,6 +219,37 @@ def detect_mode_from_settings(settings):
     return 'mean'
 
 
+def resolve_detection_rule(settings):
+    """(mode, offset) with the reference's dark-mode double-threshold
+    degeneration resolved.
+
+    For dark bacteria the reference negates the offset in place
+    (track_eval.py:125-131) and then ADDS the double-threshold delta to the
+    negated value (track_eval.py:200-208), which makes the marker threshold
+    WEAKER than the mask. The two rules are always nested, and scipy's
+    binary_propagation keeps input pixels (dilation is extensive), so the
+    reconstruction then equals the marker threshold alone — the pipeline
+    must run a single adaptive threshold at the marker offset to reproduce
+    the reference bit for bit (verified e2e on dark clips). Bright-mode
+    semantics (marker a strict subset) are unchanged.
+    """
+    import math
+    mode = detect_mode_from_settings(settings)
+    offset = effective_threshold_offset(settings)
+    if mode != 'adaptive_double':
+        return mode, offset
+    delta = settings['adaptive double threshold']
+    c_mask = -offset
+    c_marker = -(offset + delta)
+    if settings['white bacteria on dark background']:
+        marker_subset = -math.ceil(c_marker) >= -math.ceil(c_mask)
+    else:
+        marker_subset = -math.floor(c_marker) <= -math.floor(c_mask)
+    if marker_subset:
+        return mode, offset
+    return 'adaptive', offset + delta
+
+
 def effective_threshold_offset(settings):
     """Offset with the dark-background negation applied (track_eval.py:127-132).
 

@@ -23,9 +23,8 @@ class DetectorConfig:
     """Static detection parameters derived from tracking.ini settings."""
 
     def __init__(self, settings, fps):
-        self.mode = pp.detect_mode_from_settings(settings)
+        self.mode, self.offset = pp.resolve_detection_rule(settings)
         self.white_on_dark = settings['white bacteria on dark background']
-        self.offset = pp.effective_threshold_offset(settings)
         self.double_delta = settings['adaptive double threshold']
         self.max_det = settings['max detections per frame']
         self.max_bh = settings.get('max bounding box height', 96)
