@@ -153,3 +153,34 @@ def test_evaluate_parity_on_random_tables(tmp_path):
                                        rtol=1e-6, atol=1e-6, err_msg=col)
         else:
             np.testing.assert_array_equal(a, b, err_msg=col)
+
+
+def test_select_exact_length_limit_semantics(tmp_path):
+    """'limit track length exactly' (track_eval.py:783-791, era semantics):
+    a track whose frames include start + limit - 1 is truncated exactly
+    there; a track with a hole at that frame is dropped. The reference
+    cannot be compared directly on modern pandas (its all-NaN idxmax now
+    raises where it used to return NaN -> skip)."""
+    from ysmr_tpu.pipeline.select import select_tracks
+    settings = _settings(tmp_path)
+    settings['limit track length exactly'] = True
+    settings['minimal length in seconds'] = 1.0
+    settings['limit track length to x seconds'] = 2.0  # 60 frames at 30 fps
+    rows = []
+    for tid, hole_at_limit in [(0, False), (1, True)]:
+        for t in range(100):
+            if hole_at_limit and t == 59:  # start + limit - 1
+                continue
+            rows.append((tid, t, 100.0 + tid * 50 + 0.3 * t, 100.0,
+                         6.0, 3.0, 45.0))
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=['TRACK_ID', 'POSITION_T', 'POSITION_X',
+                                     'POSITION_Y', 'WIDTH', 'HEIGHT',
+                                     'DEGREES_ANGLE'])
+    out = select_tracks(path_to_file='exact.csv', df=df,
+                        results_directory=str(tmp_path), fps=FPS,
+                        frame_height=F_H, frame_width=F_W, settings=settings)
+    assert out is not None
+    assert sorted(out['TRACK_ID'].unique()) == [0]
+    t0 = out[out['TRACK_ID'] == 0]['POSITION_T']
+    assert t0.max() == 59 and len(t0) == 60
