@@ -1,19 +1,17 @@
 #!/usr/bin/env python3
-"""Orchestration: ysmr() batch entry point and analyse() per-file pipeline.
+"""Batch orchestration: the ``ysmr()`` entry point and per-file ``analyse()``.
 
-Mirrors the reference's main.py: ``analyse`` (main.py:32-172) dispatches on
-file type (video -> track_bacteria; then metadata sidecar, select_tracks,
-evaluate_tracks, optional annotate_video) with skip logic for
-already-processed files; ``ysmr`` (main.py:175-331) loads settings, starts
-the multiprocess logging listener, selects files (Tk dialog in interactive
-sessions), confirms with the user, dispatches per-file serially or over an
-``mp.Pool``, collects failures per path, collates statistics to xlsx, and
-optionally shuts the machine down.
+Capability parity with the reference driver (main.py:32-331): same public
+signatures, artifact set (stage CSVs, ``_meta.json`` sidecar, xlsx collation,
+dated results folders), skip/restart semantics, per-path failure isolation,
+and optional machine shutdown. The flow here is organised as an explicit
+stage chain (`_run_stage_chain`) driven by small predicate helpers rather
+than the reference's single inline function body.
 
-Device note: each worker process initialises its own JAX backend. For
-multi-file throughput on a single chip, serial dispatch with the pipelined
-track_bacteria is usually faster than process parallelism; process pools
-remain available for CPU-bound stages, matching the reference's behaviour.
+Device note: every pool worker initialises its own JAX backend. On a host
+with one shared chip, serial dispatch through the pipelined track_bacteria
+is normally faster than process parallelism; the pool remains available for
+CPU-bound stages and multi-host setups.
 """
 
 import logging
@@ -31,265 +29,309 @@ from ysmr_tpu.utils.csv_io import collate_results_csv_to_xlsx
 from ysmr_tpu.utils.files import (create_results_folder, elapsed_time, get_any_paths,
                                   metadata_file)
 from ysmr_tpu.utils.logging_utils import (check_logfile, get_loggers, log_infos,
-                                          logging_configurer, logging_listener,
-                                          shutdown, stop_logging_queue)
+                                          logging_listener, shutdown,
+                                          stop_logging_queue)
 
 __all__ = ['analyse', 'ysmr']
+
+# Substrings marking files that are themselves outputs of a finished run;
+# handing one back in is a no-op (reference main.py:83-87).
+_FINISHED_MARKERS = ('_analysed.csv', '_statistics.csv', '_annotated_output.')
+
+# Any of these flags being truthy means the evaluation stage must run
+# (reference main.py:65-78 computes the same union).
+_EVAL_OUTPUT_FLAGS = (
+    'store generated statistical .csv file',
+    'store final analysed .csv file',
+    'save large plots',
+    'save rose plot',
+    'save time violin plot',
+    'save acr violin plot',
+    'save length violin plot',
+    'save turning point violin plot',
+    'save speed violin plot',
+    'save angle distribution plot / bins',
+    'collate results csv to xlsx',
+    'save video',
+)
+
+
+class _StageFailed(Exception):
+    """Internal short-circuit: a stage failed or the file must be skipped.
+
+    The failing stage has already logged the cause; the pipeline result is
+    ``None``.
+    """
+
+
+def _attach_loggers(settings):
+    """Route the 'ysmr' logger per the settings (queue-aware, idempotent)."""
+    get_loggers(log_level=settings['log_level'],
+                logfile_name=settings['log file path'],
+                short_stream_output=settings['shorten displayed logging output'],
+                short_file_output=settings['shorten logfile logging output'],
+                log_to_file=settings['log to file'],
+                settings=settings)
+
+
+def _evaluation_requested(settings):
+    return any(bool(settings[flag]) for flag in _EVAL_OUTPUT_FLAGS)
+
+
+def _discard_quietly(csv_file, log):
+    try:
+        os.remove(csv_file)
+    except FileNotFoundError:
+        pass
+    except OSError:
+        log.exception('Could not delete the intermediate csv: %s', csv_file)
+
+
+def _run_stage_chain(path, settings, folder, meta_kwargs, log):
+    """Run the per-file stages in order; returns (result, tracker_csv).
+
+    Raises ``_StageFailed`` when a stage errors out or the file is skipped.
+    """
+    if any(marker in path for marker in _FINISHED_MARKERS):
+        log.warning('Skipping %s — it is an output of a previous run.', path)
+        raise _StageFailed
+    takes_video_stage = '.csv' not in path
+    fps = meta_kwargs.pop('fps', None)
+    height = meta_kwargs.pop('frame_height', None)
+    width = meta_kwargs.pop('frame_width', None)
+
+    df, tracker_csv = None, None
+    if takes_video_stage:
+        if settings['verbose']:
+            log.debug('Treating %s as a video (no .csv extension).', path)
+        staged = track_bacteria(video_path=path, settings=settings,
+                                result_folder=folder)
+        if staged is None:
+            log.warning('Detection/tracking stage failed on %s.', path)
+            raise _StageFailed
+        df, fps, height, width, tracker_csv = staged
+
+    # sidecar lookup/merge: explicit values win over stored ones
+    meta = metadata_file(path=os.path.join(folder, os.path.basename(path)),
+                        additional_search_paths=path,
+                        verbose=settings['verbose'],
+                        fps=fps, frame_height=height, frame_width=width,
+                        **meta_kwargs)
+    if settings['debugging']:
+        for item in meta.items():
+            log.debug('meta %s = %s', *item)
+
+    evaluate = _evaluation_requested(settings)
+    result = df
+    if 'selected_data.csv' not in path:
+        if evaluate or settings['store processed .csv file']:
+            df = select_tracks(path_to_file=path, df=df,
+                               results_directory=folder,
+                               settings=settings, **meta)
+            if df is None:
+                log.warning('Track selection stage failed on %s.', path)
+                raise _StageFailed
+            result = df
+    elif not evaluate:
+        log.warning('Nothing to do for %s: settings enable no evaluation '
+                    'outputs.', path)
+    if evaluate:
+        result = evaluate_tracks(path_to_file=path, results_directory=folder,
+                                 df=df, settings=settings, **meta)
+        if settings['save video']:
+            if takes_video_stage:
+                annotate_video(video_path=path, df=result[0],
+                               settings=settings, result_folder=folder)
+            else:
+                log.warning("'save video' requires the original video but %s "
+                            'is a .csv; run annotate_video() on the source '
+                            'clip directly.', path)
+    return result, tracker_csv
 
 
 def analyse(path, settings=None, result_folder=None, return_df=False, **kwargs):
     """Run the appropriate pipeline stages for one file (video or .csv).
 
-    :param kwargs: saved to the _meta.json sidecar
-    :return: df (or True) on success, None on error
+    :param kwargs: extra metadata, persisted to the ``_meta.json`` sidecar
+    :return: df (or True when ``return_df`` is falsy) on success, None on error
     """
-    t_one = datetime.now()
+    started = datetime.now()
     settings = get_configs(settings)
     if settings is None:
         return None
-    get_loggers(log_level=settings['log_level'],
-                logfile_name=settings['log file path'],
-                short_stream_output=settings['shorten displayed logging output'],
-                short_file_output=settings['shorten logfile logging output'],
-                log_to_file=settings['log to file'],
-                settings=settings)
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    return_value = None
+    _attach_loggers(settings)
+    log = logging.getLogger('ysmr').getChild(__name__)
     if result_folder is None:
         result_folder = create_results_folder(path)
-    elif not os.path.isdir(result_folder):
-        os.makedirs(result_folder, exist_ok=True)
-    logger.debug('Starting process. PID: %s Result folder: %s',
-                 os.getpid(), result_folder)
-    plots_eval = any([
-        settings['store generated statistical .csv file'],
-        settings['store final analysed .csv file'],
-        settings['save large plots'],
-        settings['save rose plot'],
-        settings['save time violin plot'],
-        settings['save acr violin plot'],
-        settings['save length violin plot'],
-        settings['save turning point violin plot'],
-        settings['save speed violin plot'],
-        settings['save angle distribution plot / bins'],
-        settings['collate results csv to xlsx'],
-        settings['save video'],
-    ])
-    df, csv_file = None, None
-    # allow explicit metadata for .csv restarts (merged via the _meta.json
-    # sidecar; explicit kwargs win over file contents)
-    fps = kwargs.pop('fps', None)
-    f_height = kwargs.pop('frame_height', None)
-    f_width = kwargs.pop('frame_width', None)
-
-    while True:  # so we can break on error
-        finished_files = ['_analysed.csv', '_statistics.csv', '_annotated_output.']
-        if any(file_ext in path for file_ext in finished_files):
-            logger.warning('File already evaluated. File: %s', path)
-            return_value = None
-            break
-        if '.csv' not in path:
-            if settings['verbose']:
-                logging.debug('File ends not in .csv, file is assumed to be a video.')
-            track_result = track_bacteria(video_path=path, settings=settings,
-                                          result_folder=result_folder)
-            if track_result is None:
-                logger.warning('Error during video analysis of file %s.', path)
-                return_value = None
-                break
-            (df, fps, f_height, f_width, csv_file) = track_result
-            return_value = df
-        meta_data = metadata_file(
-            path=os.path.join(result_folder, os.path.basename(path)),
-            additional_search_paths=path,
-            verbose=settings['verbose'],
-            fps=fps, frame_height=f_height, frame_width=f_width, **kwargs)
-        if settings['debugging']:
-            for key, value in meta_data.items():
-                logger.debug('%s: %s', key, value)
-        if 'selected_data.csv' not in path and \
-                (plots_eval or settings['store processed .csv file']):
-            df = select_tracks(path_to_file=path, df=df,
-                               results_directory=result_folder,
-                               settings=settings, **meta_data)
-            if df is None:
-                logger.warning('Error during video analysis of file %s.', path)
-                return_value = None
-                break
-            return_value = df
-        if plots_eval:
-            return_value = evaluate_tracks(path_to_file=path,
-                                           results_directory=result_folder,
-                                           df=df, settings=settings, **meta_data)
-            if settings['save video'] and '.csv' not in path:
-                annotate_video(video_path=path, df=return_value[0],
-                               settings=settings, result_folder=result_folder)
-            elif settings['save video'] and '.csv' in path:
-                logger.warning(
-                    "'save video' setting is enabled but .csv file was provided. "
-                    'Video can only be annotated when ysmr() is given a video as '
-                    'an argument. Optionally use annotate_video() directly.')
-        elif 'selected_data.csv' in path:
-            logger.warning('No evaluation set to True in settings. '
-                           'Did not evaluate %s', path)
-        break
-
-    if settings['delete .csv file after analysis'] and csv_file:
-        try:
-            os.remove(csv_file)
-        except FileNotFoundError:
-            pass
-        except Exception as ex:
-            logger.exception('An exception of type %s occurred. Arguments: %r',
-                             type(ex).__name__, ex.args)
-    if return_value is not None:
-        end_string = 'Finished with'
-        if not return_df:
-            return_value = True
     else:
-        end_string = 'Error during'
-    logger.info('%s process. PID: %s, elapsed time: %s',
-                end_string, os.getpid(), elapsed_time(t_one))
-    return return_value
+        os.makedirs(result_folder, exist_ok=True)
+    log.debug('analyse() pid %s writing to %s', os.getpid(), result_folder)
+
+    result, tracker_csv = None, None
+    try:
+        result, tracker_csv = _run_stage_chain(path, settings, result_folder,
+                                               kwargs, log)
+    except _StageFailed:
+        result = None
+    if tracker_csv and settings['delete .csv file after analysis']:
+        _discard_quietly(tracker_csv, log)
+
+    succeeded = result is not None
+    log.info('%s %s after %s (pid %s)',
+             'Done with' if succeeded else 'Gave up on',
+             os.path.basename(path), elapsed_time(started), os.getpid())
+    if succeeded and not return_df:
+        return True
+    return result
+
+
+def _spawn_log_listener(settings):
+    """Start the dedicated logging-listener process (spawn context).
+
+    Spawn, not fork: the parent typically holds live JAX/XLA threads by the
+    time ``ysmr()`` runs, and forking a multi-threaded process is unsafe
+    (and deprecation-warned on py3.12).
+    """
+    ctx = mp.get_context('spawn')
+    settings['logging_queue'] = ctx.Manager().Queue(-1)
+    listener = ctx.Process(target=logging_listener, args=(settings,))
+    listener.start()
+    return listener
+
+
+def _debug_fast_path(paths, settings, log):
+    """'debugging' mode: run the configured test clip directly, no prompts."""
+    clip = paths[0] if paths else os.path.expanduser(
+        settings['path to test video'])
+    if os.path.isfile(clip):
+        log.info('Debug run on %s', clip)
+    else:
+        log.critical('Debug clip not found, trying anyway: %s', clip)
+    folder = create_results_folder(path=settings['path to test video'])
+    return analyse(path=clip, settings=settings, result_folder=folder)
+
+
+def _resolve_paths(paths, settings, log):
+    """Determine the work list: caller-provided, Tk-selected, or test clip."""
+    if not paths:
+        if settings['select files']:
+            paths = get_any_paths(rename=True, settings=settings)
+            if not paths:
+                log.critical('File selection returned nothing; stopping.')
+                return None
+        else:
+            paths = [settings['path to test video']]
+            log.info('No paths given; falling back to the test video.')
+    paths = [os.path.expanduser(p) for p in paths]
+    log.info('Queued %s file(s):', len(paths))
+    for p in paths:
+        log.debug('  %s', p)
+    return paths
+
+
+def _confirm_interactive(settings, log):
+    """Y/N gate before touching files, when 'user input' is enabled."""
+    while settings['user input']:
+        sleep(.1)
+        answer = input('Continue? (Y/N): ').strip().lower()[:3]
+        if answer.startswith('y'):
+            log.debug('Confirmed by user.')
+            return True
+        if answer.startswith('n'):
+            log.info('Cancelled by user.\n')
+            return False
+    return True
+
+
+def _dispatch_pool(paths, settings, folder, log):
+    """One spawn worker per file, maxtasksperchild=1 (worker isolation as in
+    reference main.py:281-313); returns {path: AsyncResult}."""
+    pool = mp.get_context('spawn').Pool(maxtasksperchild=1)
+    pending = {p: pool.apply_async(analyse, args=(p, settings, folder))
+               for p in paths}
+    pool.close()
+    pool.join()
+    return pending
+
+def _collect_outcomes(pending, multiprocess, log):
+    """Resolve results per path; exceptions count as failures, not aborts."""
+    finished, failed = [], []
+    for path, handle in pending.items():
+        try:
+            value = handle.get() if multiprocess else handle
+        except (FileNotFoundError, PermissionError):
+            log.critical('Unreadable or missing: %s', path)
+            continue
+        except Exception as exc:
+            log.critical('%s raised %s:', path, type(exc).__name__)
+            for chunk in str(exc.args).splitlines():
+                log.critical('%s', chunk)
+            log.exception(exc)
+            value = None
+        if value is None:
+            failed.append(path)
+            finished.append((path, None))
+        else:
+            finished.append((path, handle))
+    return finished, failed
 
 
 def ysmr(paths=None, settings=None, result_folder=None, multiprocess=False):
-    """Analyse provided video file(s); see reference main.py:175-331.
+    """Analyse the given videos/CSVs (reference main.py:175-331 capability).
 
     :return: list of (path, result) tuples, or None on abort
     """
-    t_one = datetime.now()
+    started = datetime.now()
     settings = get_configs(settings)
     if settings is None:
         print('Fatal error in retrieving tracking.ini')
         return None
-    paths_failed = []
-    paths_finished = []
     if isinstance(paths, (str, os.PathLike)):
         paths = [paths]
-
     settings['log file path'] = check_logfile(path=settings['log file path'])
 
-    if not settings['debugging']:
-        settings['logging_queue'] = mp.Manager().Queue(-1)
-        listener = mp.Process(target=logging_listener, args=(settings,))
-        listener.start()
-        logging_configurer(settings)
-    else:
-        listener = None
+    listener = None if settings['debugging'] else _spawn_log_listener(settings)
+    _attach_loggers(settings)
+    log = logging.getLogger('ysmr').getChild(__name__)
+    banner_filler = log_infos(settings=settings)
 
-    get_loggers(log_level=settings['log_level'],
-                logfile_name=settings['log file path'],
-                short_stream_output=settings['shorten displayed logging output'],
-                short_file_output=settings['shorten logfile logging output'],
-                log_to_file=settings['log to file'],
-                settings=settings)
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    filler_for_logger = log_infos(settings=settings)
+    def _teardown():
+        stop_logging_queue(log, settings)
+        if listener is not None:
+            listener.join()
 
     if settings['debugging']:
-        result_folder = create_results_folder(path=settings['path to test video'])
-        path = os.path.expanduser(settings['path to test video']) if paths is None \
-            else paths[0]
-        if not os.path.isfile(path):
-            logger.critical('Path to test video may not exist, attempting anyway: %s',
-                            path)
-        else:
-            logger.info('Path: %s', path)
-        return analyse(path=path, settings=settings, result_folder=result_folder)
+        return _debug_fast_path(paths, settings, log)
 
-    if settings['select files']:
-        if not paths:
-            paths = get_any_paths(rename=True, settings=settings)
-        if not paths:
-            logger.critical('No files selected.')
-            stop_logging_queue(logger, settings)
-            listener.join()
-            return None
-    else:
-        if not paths:
-            paths = [settings['path to test video']]
-            logger.info('Test video path selected')
-    paths = [os.path.expanduser(path) for path in paths]
-    for path in paths:
-        logger.debug(path)
-    logger.info('Total number of files: %s', len(paths))
+    paths = _resolve_paths(paths, settings, log)
+    if paths is None or not _confirm_interactive(settings, log):
+        _teardown()
+        return None
 
-    while settings['user input']:
-        logger.debug('Waiting for user input.')
-        sleep(.1)
-        event = input('Continue? (Y/N): ')
-        if 0 < len(event) < 4:
-            if event[0].lower() == 'n':
-                logger.info('Process aborted.\n')
-                stop_logging_queue(logger, settings)
-                listener.join()
-                return None
-            elif event[0].lower() == 'y':
-                logger.debug('User agreed.')
-                break
-    results = {}
     if result_folder is None:
         result_folder = create_results_folder(paths[0])
-    if not os.path.isdir(result_folder):
-        os.makedirs(result_folder, exist_ok=True)
+    os.makedirs(result_folder, exist_ok=True)
 
     if multiprocess:
-        # spawn, not fork: the parent may have initialised JAX (XLA runtime
-        # threads do not survive fork); maxtasksperchild=1 keeps the
-        # reference's per-video worker isolation (main.py:283). Note that on
-        # a host with one shared accelerator, per-video device parallelism
-        # belongs to the sharded path (parallel/sharding.py) — pool workers
-        # on such hosts fall back to their own backends.
-        pool = mp.get_context('spawn').Pool(maxtasksperchild=1)
-        for path in paths:
-            results[path] = pool.apply_async(analyse, args=(path, settings,
-                                                            result_folder))
-        pool.close()
-        pool.join()
+        pending = _dispatch_pool(paths, settings, result_folder, log)
     else:
-        for path in paths:
-            results[path] = analyse(path=path, settings=settings,
-                                    result_folder=result_folder)
-    for path, item in results.items():
-        try:
-            result = item.get() if multiprocess else item
-            if result is None:
-                paths_failed.append(path)
-                paths_finished.append((path, None))
-            else:
-                paths_finished.append((path, item))
-        except (FileNotFoundError, PermissionError):
-            logger.critical('The file could not be found or opened: %s', path)
-        except Exception as exc:
-            logger.critical('An exception of type %s occurred with path %s.',
-                            type(exc).__name__, path)
-            for line in str(exc.args).splitlines():
-                logger.critical('%s', line)
-            logger.exception(exc)
-            paths_failed.append(path)
-            paths_finished.append((path, None))
-            continue
-    if paths_failed:
-        logger.critical('Failed to analyse %s of %s file(s):',
-                        len(paths_failed), len(paths))
-        for path in paths_failed:
-            logger.critical('%s', path)
-    else:
-        logger.info('Finished with all files.')
-    if settings['collate results csv to xlsx']:
-        try:
-            collate_results_csv_to_xlsx(path=result_folder, save_path=result_folder)
-        finally:
-            pass
+        pending = {p: analyse(path=p, settings=settings,
+                              result_folder=result_folder) for p in paths}
+    finished, failed = _collect_outcomes(pending, multiprocess, log)
 
+    if failed:
+        log.critical('%s of %s file(s) did not finish:', len(failed), len(paths))
+        for p in failed:
+            log.critical('%s', p)
+    else:
+        log.info('All files processed.')
+    if settings['collate results csv to xlsx']:
+        collate_results_csv_to_xlsx(path=result_folder, save_path=result_folder)
     if settings['shut down after analysis']:
         shutdown()
-    logger.info('Elapsed time: %s\n%s\n', elapsed_time(t_one), filler_for_logger)
-    stop_logging_queue(logger, settings)
-    if listener is not None:
-        listener.join()
-    return paths_finished
+    log.info('Batch runtime: %s\n%s\n', elapsed_time(started), banner_filler)
+    _teardown()
+    return finished
 
 
 if __name__ == '__main__':

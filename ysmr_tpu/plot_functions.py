@@ -2,11 +2,12 @@
 """Plot outputs: polar angle histogram, XY overview, rose plot, violin plots.
 
 Capability parity with the reference's plot_functions.py (:29-370): the same
-four figure types, file naming, figure sizes, viridis distance colouring with
-a colour bar, and per-violin median/mean/count text boxes. Written against
-current matplotlib/seaborn APIs (the reference targets deprecated ones, e.g.
-the removed 'seaborn-whitegrid' style and seaborn's old ``scale``/``bw``
-violin kwargs).
+four figure types, file naming, A4-landscape sizing, viridis-reversed
+distance colouring with a µm colour bar, and per-violin summary text.
+Implementation is shared-core: both track-overview figures (raw XY and
+re-origined rose) run through one scatter routine, and the colour bar is a
+standard ``fig.colorbar`` on a ScalarMappable rather than a dedicated
+gridspec column. Written against current matplotlib/seaborn APIs.
 """
 
 import logging
@@ -14,189 +15,180 @@ import logging
 import matplotlib
 matplotlib.use('Agg')  # headless by default; annotate/display paths use cv2
 import matplotlib as mpl  # noqa: E402
-import matplotlib.gridspec as gridspec  # noqa: E402
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
 __all__ = ['angle_distribution_plot', 'large_xy_plot', 'rose_graph', 'violin_plot']
 
-_FIG_W, _FIG_H = 11.6929133858, 8.2677165354  # A4 landscape in inches
+_A4_LANDSCAPE = (11.6929133858, 8.2677165354)  # inches
+_MOTILITY_FLOOR = 0.7  # tracks below 70 % average motility are excluded
+
+
+def _log():
+    return logging.getLogger('ysmr').getChild(__name__)
+
+
+def _finish(fig, save_path, dpi, verbose=True):
+    fig.savefig(save_path, dpi=dpi)
+    if verbose:
+        _log().debug('Figure written: %s', save_path)
+    plt.close(fig)
 
 
 def angle_distribution_plot(df, bins_number, plot_title_name, save_path, dpi=300):
-    """Polar histogram of n-frame displacement angles for motile tracks.
+    """Polar histogram of n-frame displacement angles, motile tracks only.
 
-    Only data points of tracks with > 70 % average motility contribute
-    (reference plot_functions.py:29-90).
+    A data point contributes when its own ``moving`` flag is set AND its
+    track's average motility exceeds 70 % (reference plot_functions.py:29-90).
     """
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    angle_radians = df['angle_diff']
-    groups = df.groupby('TRACK_ID')['moving']
-    min_average = np.repeat(groups.mean().to_numpy(), groups.count().to_numpy())
-    moving_mask = np.where(min_average > 0.7, df['moving'], 0).astype(bool)
-    if not moving_mask.sum():
-        logger.warning('Cannot create angle distribution plot as there are no '
-                       'motile tracks.')
+    track_motility = df.groupby('TRACK_ID')['moving'].transform('mean')
+    contributes = df['moving'].astype(bool) & \
+        (track_motility.to_numpy() > _MOTILITY_FLOOR)
+    n_points = int(contributes.sum())
+    if not n_points:
+        _log().warning('Angle distribution plot skipped: no track passes the '
+                       '%d%% motility floor.', int(_MOTILITY_FLOOR * 100))
         return
-    angles = angle_radians[np.array(moving_mask)]
-    bins = np.linspace(-np.pi, np.pi, bins_number + 1)
-    hist_array, _ = np.histogram(angles, bins)
-    plt.figure(figsize=(_FIG_W, _FIG_H))
-    ax = plt.subplot(1, 1, 1, projection='polar')
+    edges = np.linspace(-np.pi, np.pi, bins_number + 1)
+    counts = np.histogram(df.loc[np.asarray(contributes), 'angle_diff'],
+                          edges)[0]
+
+    fig = plt.figure(figsize=_A4_LANDSCAPE)
+    ax = fig.add_subplot(projection='polar')
     ax.set_theta_zero_location('N')
     ax.set_theta_direction(-1)
-    width = 2 * np.pi / bins_number
-    bars = ax.bar(bins[:bins_number], hist_array, width=width, bottom=0.0,
-                  edgecolor='k')
-    for bar in bars:
-        bar.set_alpha(0.5)
-    plt.title('{} Data points: {}'.format(plot_title_name, moving_mask.sum()))
-    plt.savefig(save_path, dpi=dpi)
-    logger.debug('Saving figure %s', save_path)
-    plt.close()
+    ax.bar(edges[:-1], counts, width=2 * np.pi / bins_number, bottom=0.0,
+           edgecolor='k', alpha=0.5)
+    ax.set_title('{} Data points: {}'.format(plot_title_name, n_points))
+    _finish(fig, save_path, dpi)
 
 
-def _colour_bar(ax, dist_min, dist_max):
-    """Viridis-reversed distance colour bar on the given axis."""
-    norm = mpl.colors.Normalize(vmin=dist_min, vmax=dist_max)
-    cb = mpl.colorbar.Colorbar(ax, mpl.cm.ScalarMappable(norm=norm,
-                                                         cmap=plt.cm.viridis_r))
-    cb.set_label('µm')
-    return ax
+def _track_overview(df, x_col, y_col, title, save_path, *, scale=1.0,
+                    dist_min=0, dist_max=None, mark_starts=False, dpi=300):
+    """Scatter every track's points coloured by travelled distance.
 
+    Shared core of ``large_xy_plot`` and ``rose_graph``. Tracks are drawn in
+    descending distance order so short (dark) tracks land on top; a
+    viridis-reversed µm colour bar sits on the right.
+    """
+    if dist_max is None or not dist_max:
+        col = df['travelled_dist'] if 'travelled_dist' in df else \
+            df['distance_colour']
+        dist_max = col.max()
+    fig, ax = plt.subplots(figsize=_A4_LANDSCAPE)
+    fig.subplots_adjust(left=0.05, right=0.95)
+    ax.set_axisbelow(True)
 
-def _scatter_grouped(axis, grouped, x_col, y_col):
-    for name, group in grouped:
-        axis.scatter(group[x_col], group[y_col], marker='.', label=name,
-                     c=plt.cm.viridis_r(group.distance_colour), s=1, lw=0)
+    if mark_starts:
+        starts = df.groupby('TRACK_ID')[[x_col, y_col]].first()
+        ax.scatter(starts[x_col] / scale, starts[y_col] / scale, marker='o',
+                   color='black', s=1, lw=0)
+    by_dist = df[['TRACK_ID', x_col, y_col, 'distance_colour']] \
+        .sort_values('distance_colour', ascending=False)
+    for _, track in by_dist.groupby('TRACK_ID', sort=False):
+        ax.scatter(track[x_col] / scale, track[y_col] / scale, marker='.',
+                   s=1, lw=0,
+                   c=plt.cm.viridis_r(track['distance_colour']))
+
+    mappable = mpl.cm.ScalarMappable(
+        norm=mpl.colors.Normalize(vmin=dist_min, vmax=dist_max),
+        cmap=plt.cm.viridis_r)
+    fig.colorbar(mappable, ax=ax, fraction=0.02, pad=0.01, label='µm')
+    ax.set_aspect('equal')
+    ax.grid(True)
+    ax.set_title(str(title))
+    return fig, ax
 
 
 def large_xy_plot(df, plot_title_name, save_path, px_to_micrometre=1,
                   dist_min=0, dist_max=None, dpi=300):
-    """All tracks' raw XY paths coloured by travelled distance
+    """All tracks' raw XY paths in µm, start points marked black
     (reference plot_functions.py:109-188)."""
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    f = plt.figure()
-    f.set_size_inches(_FIG_W, _FIG_H)
-    plt.rcParams['axes.axisbelow'] = True
-    gs = gridspec.GridSpec(1, 100, figure=f)
-    gs.update(left=0.05, right=0.95, hspace=0.05, wspace=0.05)
-    if not dist_max:
-        dist_max = df.get('travelled_dist', df.get('distance_colour')).max()
-    large_plot = plt.subplot(gs[0, :-2])
-    dist_bar = plt.subplot(gs[0, -2:])
-    firsts = df.groupby('TRACK_ID')[['POSITION_X', 'POSITION_Y']].transform('first')
-    large_plot.scatter(firsts.POSITION_X / px_to_micrometre,
-                       firsts.POSITION_Y / px_to_micrometre,
-                       marker='o', color='black', s=1, lw=0)
-    scaled = df.loc[:, ['TRACK_ID', 'distance_colour']].copy()
-    scaled['POSITION_X'] = df['POSITION_X'] / px_to_micrometre
-    scaled['POSITION_Y'] = df['POSITION_Y'] / px_to_micrometre
-    grouped = scaled.sort_values(['distance_colour'], ascending=False).groupby(
-        'TRACK_ID', sort=False)[['POSITION_X', 'POSITION_Y', 'distance_colour']]
-    _scatter_grouped(large_plot, grouped, 'POSITION_X', 'POSITION_Y')
-    _colour_bar(dist_bar, dist_min, dist_max)
-    large_plot.set_xlabel('µm')
-    large_plot.set_ylabel('µm')
-    large_plot.set_aspect('equal')
-    large_plot.grid(True)
-    large_plot.set_title('{}'.format(plot_title_name))
-    plt.savefig(save_path, dpi=dpi)
-    logger.debug('Saving figure %s', save_path)
-    plt.close()
+    fig, ax = _track_overview(df, 'POSITION_X', 'POSITION_Y', plot_title_name,
+                              save_path, scale=px_to_micrometre,
+                              dist_min=dist_min, dist_max=dist_max,
+                              mark_starts=True, dpi=dpi)
+    ax.set_xlabel('µm')
+    ax.set_ylabel('µm')
+    _finish(fig, save_path, dpi)
 
 
-def rose_graph(df, plot_title_name, save_path, dist_min=0, dist_max=None, dpi=300):
-    """All tracks re-origined at (0, 0), coloured by travelled distance
-    (reference plot_functions.py:191-257)."""
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    if not dist_max:
-        dist_max = df.get('travelled_dist', df.get('distance_colour')).max()
-    f = plt.figure()
-    f.set_size_inches(_FIG_W, _FIG_H)
-    plt.rcParams['axes.axisbelow'] = True
-    gs = gridspec.GridSpec(1, 100, figure=f)
-    gs.update(left=0.05, right=0.95, hspace=0.05, wspace=0.05)
-    rose_plot = plt.subplot(gs[0, :-2])
-    dist_bar = plt.subplot(gs[0, -2:])
-    grouped = df.loc[:, ['TRACK_ID', 'distance_colour', 'x_norm', 'y_norm']] \
-        .sort_values(['distance_colour'], ascending=False) \
-        .groupby('TRACK_ID', sort=False)[['x_norm', 'y_norm', 'distance_colour']]
-    _scatter_grouped(rose_plot, grouped, 'x_norm', 'y_norm')
-    rose_plot.set_aspect('equal')
-    rose_plot.grid(True)
-    rose_plot.set_title('{}'.format(plot_title_name))
-    _colour_bar(dist_bar, dist_min, dist_max)
-    plt.savefig(save_path, dpi=dpi)
-    logger.debug('Saving figure %s', save_path)
-    plt.close()
+def rose_graph(df, plot_title_name, save_path, dist_min=0, dist_max=None,
+               dpi=300):
+    """All tracks re-origined at (0, 0) (reference plot_functions.py:191-257)."""
+    fig, _ = _track_overview(df, 'x_norm', 'y_norm', plot_title_name,
+                             save_path, dist_min=dist_min, dist_max=dist_max,
+                             dpi=dpi)
+    _finish(fig, save_path, dpi)
+
+
+def _category_summaries(df, value_col, cut_off_category, cut_off_list):
+    """Per-category (name, count, share, median, mean); NaN medians dropped.
+
+    The share denominator is the first category's count, or the whole frame
+    when that is empty (reference plot_functions.py:300-330 semantics).
+    """
+    counts = df[cut_off_category].value_counts()
+    denominator = int(counts.get(cut_off_list[0][2], 0)) or df.shape[0]
+    rows = []
+    for entry in cut_off_list:
+        name = entry[2]
+        values = df.loc[df[cut_off_category] == name, value_col]
+        median = values.median()
+        if np.isnan(median):
+            continue
+        share = '{:.1%}'.format(len(values) / denominator) if denominator \
+            else 'error'
+        rows.append((name, len(values), share, median, values.mean()))
+    return rows
 
 
 def violin_plot(df, save_path, category, cut_off_category, cut_off_list,
                 plot_title_name='\n\n', axis=None, dpi=300, verbose=False,
                 y_min=None, y_max=None):
-    """Seaborn violin plot split by category with per-violin text boxes
-    (reference plot_functions.py:260-370)."""
+    """Seaborn violin split by category, annotated with count/median/mean
+    per violin (reference plot_functions.py:260-370)."""
     import seaborn as sns
-    if y_min is False:
-        y_min = None
-    if y_max is False:
-        y_max = None
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    med, small = 8, 6
+    y_limits = (y_min or None, y_max or None)
+    font_md, font_sm = 8, 6
     plt.rcParams.update({
-        'axes.titlesize': med, 'legend.fontsize': med, 'axes.labelsize': small,
-        'xtick.labelsize': med, 'ytick.labelsize': med, 'figure.titlesize': med})
+        'axes.titlesize': font_md, 'legend.fontsize': font_md,
+        'axes.labelsize': font_sm, 'xtick.labelsize': font_md,
+        'ytick.labelsize': font_md, 'figure.titlesize': font_md})
     for style in ('seaborn-v0_8-whitegrid', 'seaborn-whitegrid'):
         try:
             plt.style.use(style)
             break
         except OSError:
             continue
-    save_fig = False
+
+    fig = None
     if axis is None:
-        fig = plt.figure()
-        fig.set_size_inches(_FIG_W / 2, _FIG_H / 2)
+        fig = plt.figure(figsize=(_A4_LANDSCAPE[0] / 2, _A4_LANDSCAPE[1] / 2))
         axis = fig.add_subplot(111)
-        save_fig = True
-    plt.rcParams['axes.axisbelow'] = True
+    axis.set_axisbelow(True)
     axis.grid(axis='y', which='major', alpha=0.80)
+    violin_kwargs = dict(y=df[category], x=df[cut_off_category], orient='v',
+                         cut=0, ax=axis, width=0.95, linewidth=1)
     try:
-        sns.violinplot(y=df[category], x=df[cut_off_category], orient='v', cut=0,
-                       ax=axis, density_norm='count', width=0.95, linewidth=1,
-                       bw_method=.2)
+        sns.violinplot(density_norm='count', bw_method=.2, **violin_kwargs)
     except TypeError:  # older seaborn keyword set
-        sns.violinplot(y=df[category], x=df[cut_off_category], orient='v', cut=0,
-                       ax=axis, scale='count', width=0.95, linewidth=1, bw=.2)
-    axis.set(ylim=(y_min, y_max))
+        sns.violinplot(scale='count', bw=.2, **violin_kwargs)
+    axis.set(ylim=y_limits)
     sns.despine(ax=axis, offset=0)
     axis.set_title('{}\n\n'.format(plot_title_name))
-    text_boxes = []
-    all_entries = sum(df[cut_off_category] == cut_off_list[0][2])
-    if all_entries == 0:
-        all_entries = df.shape[0]
-    for idx_textbox in range(len(cut_off_list)):
-        curr_category = cut_off_list[idx_textbox][2]
-        curr_entries = sum(df[cut_off_category] == curr_category)
-        df_subset = df.loc[df[cut_off_category] == curr_category, category]
-        median = df_subset.median()
-        average = df_subset.mean()
-        if np.isnan(median):
-            continue
-        curr_percentage = '{:.1%}'.format(curr_entries / all_entries) \
-            if all_entries > 0 else 'error'
-        text_boxes.append((curr_category, curr_entries, curr_percentage,
-                           median, average))
-    for idx_textbox, (curr_category, curr_entries, curr_percentage, qm, avg) in \
-            enumerate(text_boxes):
-        axis.text(idx_textbox / len(text_boxes) + 0.015, 1.005,
-                  '{}: {} ({})\nMedian: {:.2f}\nAverage:  {:.2f}'.format(
-                      curr_category, curr_entries, curr_percentage, qm, avg),
-                  transform=axis.transAxes, size=small)
-    if save_fig:
-        plt.savefig(save_path, dpi=dpi)
-        if verbose:
-            logger.debug('Saving figure %s', save_path)
-        plt.close()
-        return None
-    return axis
+
+    summaries = _category_summaries(df, category, cut_off_category,
+                                    cut_off_list)
+    if summaries:
+        anchors = np.linspace(0, 1, num=len(summaries), endpoint=False)
+        for x_anchor, (name, count, share, median, mean) in \
+                zip(anchors, summaries):
+            axis.text(x_anchor + 0.015, 1.005,
+                      '{}: {} ({})\nMedian: {:.2f}\nAverage:  {:.2f}'.format(
+                          name, count, share, median, mean),
+                      transform=axis.transAxes, size=font_sm)
+    if fig is None:
+        return axis
+    _finish(fig, save_path, dpi, verbose=verbose)
+    return None

@@ -18,8 +18,6 @@ from logging.handlers import QueueHandler, QueueListener
 from queue import Queue
 from time import sleep
 
-import numpy as np
-
 
 def log_formats():
     """Long and short logging formats (reference helper_file.py:993-1011)."""
@@ -29,62 +27,46 @@ def log_formats():
     return long_format, short_format
 
 
-def logfile_padding(logfile, iteration=0):
-    """Pad a logfile with an empty line if it does not end on one."""
-    with open(logfile, 'r+') as file:
-        line = ''
-        for line in file:
-            pass
-        if line:
-            if line not in {'\n', '\r', '\r\n'}:
-                file.write('\n')
-            else:
-                return
-        else:
+def logfile_padding(logfile):
+    """Append a blank separator line unless the file already ends on one."""
+    with open(logfile, 'rb+') as fh:
+        fh.seek(0, os.SEEK_END)
+        if fh.tell() == 0:
             return
-    if iteration < 2:
-        logfile_padding(logfile, iteration=iteration + 1)
+        fh.seek(-1, os.SEEK_END)
+        if fh.read(1) not in (b'\n', b'\r'):
+            fh.write(b'\n')
 
 
-def check_logfile(path, max_size=2 ** 20):
-    """Size-based rollover of the logfile, keeping .log.1 .. .log.9.
+def check_logfile(path, max_size=2 ** 20, keep=9):
+    """Size-based logfile rollover keeping ``.1`` (newest) .. ``.9`` (oldest).
 
-    Reference semantics (helper_file.py:318-361): below ``max_size`` the file
-    is only newline-padded; above it, numbered siblings shift up (9 deleted)
-    and the current file becomes ``.1``.
+    Same capability as the reference's homemade rotation
+    (helper_file.py:318-361): a file below ``max_size`` is only
+    newline-padded; a larger one is rotated — every numbered sibling shifts
+    up one slot (the ``.keep`` oldest is dropped) and the live file becomes
+    ``.1``.  Unlike the reference this is a plain descending shift with no
+    gap-detection heuristics.
     """
-    from ysmr_tpu.utils.files import find_paths
-    file_size = os.path.getsize(path) if os.path.isfile(path) else 0
-    if file_size < max_size:
-        if 0 < file_size:
+    size = os.path.getsize(path) if os.path.isfile(path) else 0
+    if size < max_size:
+        if size:
             logfile_padding(path)
         return path
-    base_path, file_name = os.path.split(path)
-    old_paths = find_paths(base_path=base_path or '.',
-                           extension='{}.*'.format(file_name), recursive=False)
-    if old_paths:
-        old_paths = [p for p in old_paths if p[-1].isdigit()]
-        old_paths = sorted(old_paths, reverse=True, key=lambda x: int(x[-1]))
-        counts = [int(p[-1]) for p in old_paths]
-        if old_paths and counts[-1] > 1:
-            pass  # gap below; renames unnecessary
-        elif old_paths:
-            max_idx = [1]
-            max_idx.extend([s - t for s, t in zip(counts[:-1], counts[1:])])
-            max_idx = int(np.array(max_idx).argmax())
-            for old_count, old_path in zip(counts[max_idx:], old_paths[max_idx:]):
-                try:
-                    if old_count == 9:
-                        os.remove(old_path)
-                    else:
-                        new_path = '{}{}'.format(old_path[:-1], old_count + 1)
-                        if not os.path.isfile(new_path):
-                            os.rename(old_path, new_path)
-                except (FileNotFoundError, FileExistsError, PermissionError):
-                    pass
+    for slot in range(keep, 0, -1):
+        numbered = '{}.{}'.format(path, slot)
+        if not os.path.isfile(numbered):
+            continue
+        try:
+            if slot == keep:
+                os.remove(numbered)
+            else:
+                os.replace(numbered, '{}.{}'.format(path, slot + 1))
+        except OSError:
+            pass
     try:
-        os.rename(path, '{}.1'.format(path))
-    except (FileNotFoundError, FileExistsError, PermissionError):
+        os.replace(path, '{}.1'.format(path))
+    except OSError:
         pass
     return path
 
@@ -104,34 +86,28 @@ def get_loggers(log_level=logging.DEBUG, logfile_name='./logfile.log',
 
     logger = logging.getLogger('ysmr')
     logger.propagate = False
+    if any(isinstance(h, QueueHandler) for h in logger.handlers):
+        return  # already wired up
     long_format, short_format = log_formats()
     logging.basicConfig(format=long_format, style='{')
-
-    queue_handler = None
-    for handler in logger.handlers:
-        if isinstance(handler, QueueHandler):
-            queue_handler = handler
-            break
-    if isinstance(queue_handler, QueueHandler):
-        return
-    long_formatter = logging.Formatter(long_format, style='{')
-    short_formatter = logging.Formatter(short_format, style='{')
     logger.setLevel(log_level)
-    log_queue = Queue(-1)
-    queue_handler = QueueHandler(log_queue)
-    logger.addHandler(queue_handler)
-    stream_handler = logging.StreamHandler(sys.stdout)
-    stream_handler.setLevel(log_level)
-    stream_handler.setFormatter(short_formatter if short_stream_output else long_formatter)
-    handlers = [stream_handler]
+
+    def _sink(stream_or_file, short):
+        handler = logging.StreamHandler(sys.stdout) if stream_or_file is None \
+            else logging.FileHandler(filename=stream_or_file, mode='a')
+        handler.setLevel(log_level)
+        handler.setFormatter(logging.Formatter(
+            short_format if short else long_format, style='{'))
+        return handler
+
+    sinks = [_sink(None, short_stream_output)]
     if log_to_file:
-        file_handler = logging.FileHandler(filename=logfile_name, mode='a')
-        file_handler.setLevel(log_level)
-        file_handler.setFormatter(short_formatter if short_file_output else long_formatter)
-        handlers.append(file_handler)
-    listener = QueueListener(log_queue, *handlers)
+        sinks.append(_sink(logfile_name, short_file_output))
+    log_queue = Queue(-1)
+    logger.addHandler(QueueHandler(log_queue))
+    listener = QueueListener(log_queue, *sinks)
     listener.start()
-    # keep a reference for stop_logging_queue()
+    # stop_logging_queue() finds the listener through this attribute
     logger._ysmr_queue_listener = listener
 
 
@@ -208,15 +184,18 @@ def stop_logging_queue(logger=None, settings=None):
 
 
 def log_infos(settings):
-    """Startup banner + settings-derived warnings (helper_file.py:1014-1128)."""
+    """Startup banner + settings-derived warnings.
+
+    Capability parity with the reference's ``log_infos``
+    (helper_file.py:1014-1128): a header line that explains the log columns,
+    then warnings/infos derived from every consequential setting.
+    Returns the ``#`` filler line used to frame the run in the log.
+    """
     logger = logging.getLogger('ysmr').getChild(__name__)
     long_format, short_format = log_formats()
-    if (settings['shorten displayed logging output'] and settings['log to file']) \
-            or settings['shorten logfile logging output']:
-        format_for_logging = short_format
-    else:
-        format_for_logging = long_format
-    explain = format_for_logging.format(**{
+    uses_short = settings['shorten logfile logging output'] or (
+        settings['shorten displayed logging output'] and settings['log to file'])
+    header = (short_format if uses_short else long_format).format(**{
         'asctime': 'YYYY-MM-DD HH:MM:SS,mmm',
         'name': 'logger name',
         'funcName': 'function name',
@@ -226,78 +205,76 @@ def log_infos(settings):
         'process': 'PID',
         'message': 'Message (lNr: line number, PID: Process ID)',
     })
-    filler = '\t'.join('#' * len(i) for i in explain.split('\t'))
-    logger.info('Explanation\n{0}\n{1}\n{0}'.format(filler, explain))
+    filler = '\t'.join('#' * len(col) for col in header.split('\t'))
+    logger.info('Column legend\n{0}\n{1}\n{0}'.format(filler, header))
 
+    # warnings for settings with destructive or surprising consequences
     if settings['shut down after analysis']:
-        logger.warning('Shutting down PC after files have been processed')
+        logger.warning('The machine will power off once the batch completes.')
     if settings['debugging']:
-        logger.warning('Test settings enabled')
+        logger.warning('Debug/test mode is active.')
     if not settings['rename previous result .csv']:
-        logger.warning('Old .csv result lists will be overwritten')
+        logger.warning('Existing result CSVs will be replaced in place.')
     if settings['delete .csv file after analysis']:
-        logger.warning('Generated .csv files will be deleted after analysis')
+        logger.warning('Intermediate CSVs are deleted once each file finishes.')
     if settings['select files'] and settings['debugging']:
-        logger.warning('Manually selecting files disabled due to debugging')
-    if settings['perc_motile_warning']:
-        for warning in settings['perc_motile_warning']:
-            logger.warning(warning)
+        logger.warning('File selection dialog suppressed while debugging.')
+    for warning in settings['perc_motile_warning'] or ():
+        logger.warning(warning)
 
-    logger.info('Settings file location: %s',
+    logger.info('Settings: %s',
                 os.path.abspath(settings['tracking_ini_filepath']))
     if settings['log to file']:
-        logger.info('Logfile location: %s', os.path.abspath(settings['log file path']))
+        logger.info('Logfile: %s', os.path.abspath(settings['log file path']))
     if settings['verbose']:
-        logger.info('Verbose enabled, logging set to debug.')
+        logger.info('Verbose mode: log level forced to debug.')
     else:
-        logger.info('Log level set to %s',
+        logger.info('Log level: %s',
                     settings['set logging level (debug/info/warning/critical)'])
     if settings['display video analysis']:
-        logger.info('Displaying videos')
-    if settings['adaptive double threshold'] > 0:
-        logger.info('Using adaptive double threshold: initial threshold offset: %s; '
-                    'threshold offset for markers: %s',
-                    settings['threshold offset for detection'],
-                    settings['adaptive double threshold'] +
-                    settings['threshold offset for detection'])
-    elif settings['adaptive double threshold'] == 0:
-        logger.info('Using single adaptive threshold, offset: %s',
-                    settings['threshold offset for detection'])
+        logger.info('Live display of the analysis is on.')
+
+    offset = settings['threshold offset for detection']
+    double = settings['adaptive double threshold']
+    if double > 0:
+        logger.info('Threshold: adaptive double (mask offset %s, marker '
+                    'offset %s).', offset, offset + double)
+    elif double == 0:
+        logger.info('Threshold: single adaptive, offset %s.', offset)
     else:
-        logger.info('Using average gray value based thresholding. Offset: %s',
-                    settings['threshold offset for detection'])
+        logger.info('Threshold: frame-mean based, offset %s.', offset)
     if settings['disable gsff']:
         logger.info('GSFF disabled.')
     else:
-        max_horizon = settings['maximum horizon size']
-        logger.info('GSFF settings: number: %s, minimum: %s, maximum: %s',
-                    settings['number of LSFFs'], settings['minimum horizon size'],
-                    'FPS will be used.' if max_horizon is None else max_horizon)
+        horizon = settings['maximum horizon size']
+        logger.info('GSFF bank: %s filters, horizons %s..%s.',
+                    settings['number of LSFFs'],
+                    settings['minimum horizon size'],
+                    'fps' if horizon is None else horizon)
     if settings['save video']:
-        logger.info('Saving detection video files')
+        logger.info('Annotated output videos will be written.')
     if settings['include luminosity in tracking calculation']:
-        logger.info('Use average luminosity for distance calculation enabled - '
-                    'processing time per video may increase notably')
-    if settings['limit track length to x seconds']:
-        limit_string = 'Maximal track length for evaluation set to {} s'.format(
-            settings['limit track length to x seconds'])
-        if settings['limit track length exactly']:
-            limit_string += ' exactly. Tracks off by any frames will be discarded.'
-        logger.info(limit_string)
+        logger.info('Luminosity joins the tracking distance metric (slower).')
+    limit = settings['limit track length to x seconds']
+    if limit:
+        logger.info('Tracks are evaluated over at most %s s%s.', limit,
+                    ' (exact: off-length tracks are dropped)'
+                    if settings['limit track length exactly'] else '')
     else:
-        logger.info('Full track length will be used in evaluation')
+        logger.info('Tracks are evaluated at full length.')
     if not settings['maximal recursion depth']:
-        logger.info('Tracks will not be split on error as \'maximal recursion depth\' '
-                    'is set to 0. This could severely reduce the number of viable tracks.')
+        logger.info("Track splitting is off ('maximal recursion depth' = 0); "
+                    'expect fewer surviving tracks.')
 
-    logger.debug('White bacteria on dark background set to %s',
+    logger.debug('white bacteria on dark background: %s',
                  settings['white bacteria on dark background'])
-    logger.debug('List save length set to %s entries', settings['list save length interval'])
-    logger.debug('Pixel/micrometre: %s', settings['pixel per micrometre'])
+    logger.debug('csv flush interval: %s rows',
+                 settings['list save length interval'])
+    logger.debug('pixel per micrometre: %s', settings['pixel per micrometre'])
     if settings['verbose']:
-        logger.debug('tracking.ini settings:')
-        for key in settings:
-            logger.debug('%s: %s', key, settings[key])
+        logger.debug('full settings dump:')
+        for item in settings.items():
+            logger.debug('%s: %s', *item)
     return filler
 
 
