@@ -95,7 +95,7 @@ def make_clip(path, n_frames, seed=SEED):
 
 
 def measure_reference(clip, result_folder):
-    """Wall-clock fps and track count of the reference track_bacteria."""
+    """Wall-clock fps, track count, and list-CSV path of the reference."""
     if '/root/reference' not in sys.path:
         sys.path.insert(0, '/root/reference')
     from ysmr.track_eval import track_bacteria as ref_track
@@ -105,28 +105,140 @@ def measure_reference(clip, result_folder):
     elapsed = time.perf_counter() - t0
     assert res is not None, 'reference run failed'
     n_tracks = int(res[0]['TRACK_ID'].nunique())
-    return N_FRAMES / elapsed, n_tracks
+    return N_FRAMES / elapsed, n_tracks, res[4]
 
 
-def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=3):
-    """Best-of-``reps`` wall-clock fps (tunnel bandwidth varies run to run)
-    plus the run's track count (parity guard)."""
+def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=5):
+    """Median-of-``reps`` wall-clock fps with dispersion (the tunnelled link
+    swings up to 2x across minutes — a single run or a best-of pick is not
+    an honest number), plus the last run's track count and DataFrame."""
     from ysmr_tpu.pipeline.track_bacteria import track_bacteria
     warm = bench_settings({'minimal frame count': 16, **(extra or {})})
     res = track_bacteria(warmup_clip, settings=warm, result_folder=result_folder)
     assert res is not None, 'warmup run failed'
     settings = bench_settings(extra)
-    best = 0.0
+    runs = []
     n_tracks = None
+    df = None
     for _ in range(reps):
         t0 = time.perf_counter()
         res = track_bacteria(clip, settings=settings,
                              result_folder=result_folder)
         elapsed = time.perf_counter() - t0
         assert res is not None, 'benchmark run failed'
-        best = max(best, N_FRAMES / elapsed)
-        n_tracks = int(res[0]['TRACK_ID'].nunique())
-    return best, n_tracks
+        runs.append(N_FRAMES / elapsed)
+        df = res[0]
+        n_tracks = int(df['TRACK_ID'].nunique())
+    stats = {
+        'median': round(float(np.median(runs)), 2),
+        'min': round(min(runs), 2),
+        'max': round(max(runs), 2),
+        'reps': reps,
+    }
+    return stats, n_tracks, df
+
+
+def check_row_parity(our_df, ref_list_csv):
+    """Row-level comparison of our exact-mode tracker output against the
+    reference's cached ``_list.csv``: identical (TRACK_ID, POSITION_T)
+    sequences and positions within the e2e tolerance (0.08 px)."""
+    import pandas as pd
+    if not (ref_list_csv and os.path.isfile(ref_list_csv)):
+        return None
+    ref = pd.read_csv(ref_list_csv)
+    ref = ref.sort_values(['TRACK_ID', 'POSITION_T'], kind='stable')
+    if our_df.shape[0] != ref.shape[0]:
+        return False
+    if our_df['TRACK_ID'].tolist() != ref['TRACK_ID'].astype(int).tolist():
+        return False
+    if our_df['POSITION_T'].tolist() != ref['POSITION_T'].astype(int).tolist():
+        return False
+    for col, atol in (('POSITION_X', 0.08), ('POSITION_Y', 0.08)):
+        if not np.allclose(our_df[col].to_numpy(dtype=float),
+                           ref[col].to_numpy(dtype=float), atol=atol):
+            return False
+    area_o = (our_df['WIDTH'] * our_df['HEIGHT']).to_numpy(dtype=float)
+    area_r = (ref['WIDTH'] * ref['HEIGHT']).to_numpy(dtype=float)
+    return bool(np.allclose(area_o, area_r, atol=0.08, rtol=0.01))
+
+
+def measure_device_only(clip, n_batches=4, reps=5):
+    """Chip-only throughput: host decode/preproc removed from the loop.
+
+    The first ``n_batches`` 64-frame batches of the bench clip are
+    preprocessed on host ONCE and staged on the device; the timed loop then
+    runs the full detect+track pipeline (pixels path, tracker state carried)
+    over the staged batches, forcing completion with a scalar-reduction
+    fetch per step (CLAUDE.md: block_until_ready is not reliable on the
+    tunnelled backend). This is the frames/sec/chip number when the host
+    never starves the device.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ysmr_tpu.io.preproc import HostPreprocessor
+    from ysmr_tpu.io.video import BatchedVideoReader
+    from ysmr_tpu.ops import gsff as gsff_ops
+    from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
+    from ysmr_tpu.pipeline import tracker as trk
+
+    settings = bench_settings()
+    batch_size = settings['frame batch size']
+    pre = HostPreprocessor(settings, FPS,
+                           max_fg=settings['max foreground pixels per frame'])
+    reader = BatchedVideoReader(clip, batch_size=batch_size, prefetch=2,
+                                preprocess=pre)
+    staged = []
+    for batch in reader:
+        if batch['count'] < batch_size:
+            break
+        data = batch['frames']
+        dev = {k: jax.device_put(v) for k, v in data.items()}
+        staged.append(dev)
+        if len(staged) >= n_batches:
+            break
+    del reader
+    assert staged, 'no full batches staged'
+    use_pallas = jax.default_backend() == 'tpu'
+    frame_valid = jnp.ones((batch_size,), bool)
+    params = gsff_ops.GSFFParams(fps=FPS,
+                                 n_min=settings['minimum horizon size'],
+                                 n_max=settings['maximum horizon size'],
+                                 n_f=settings['number of LSFFs'])
+    state0 = trk.init_tracker_state(settings['max track slots'], dims=2,
+                                    use_gsff=True, gsff_params=params)
+    tracker_kwargs = dict(max_disappeared=float(FPS), use_gsff=True,
+                          gsff_gains=params.gains, gsff_n_i=params.n_i_arr,
+                          gsff_n_f=params.n_f, gsff_n_i0=params.n_i[0],
+                          use_pallas_assign=use_pallas)
+    det_kwargs = dict(h=H, w=W, double_threshold=True,
+                      max_det=settings['max detections per frame'],
+                      max_bh=settings['max bounding box height'],
+                      cc_iters=settings['connected components max iterations'],
+                      include_luminosity=False, px_gray=None,
+                      use_pallas=use_pallas)
+
+    def run_pass(state):
+        checksum = None
+        for dev in staged:
+            tables = detect_from_pixels(
+                dev.get('px_x'), dev.get('px_y'), dev['count'],
+                dev.get('px_marker'), frame_valid,
+                px_packed=dev.get('px_packed'), **det_kwargs)
+            state, em = trk.run_tracker_scan(
+                state, tables['det_xy'], tables['det_info'],
+                tables['det_valid'], **tracker_kwargs)
+            checksum = em['mask']
+        float(jnp.sum(checksum))  # forces completion of the chain
+        return state
+
+    state = run_pass(state0)  # compile + warm
+    per_pass_frames = len(staged) * batch_size
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = run_pass(state)
+        best = max(best, per_pass_frames / (time.perf_counter() - t0))
+    return round(best, 2)
 
 
 def measure_dense(n_obj=16000):
@@ -191,17 +303,94 @@ def measure_dense(n_obj=16000):
     return int(n_comp[0]), round(best, 2)
 
 
+def measure_dense_host_stages(n_obj, n_frames=630):
+    """Wall time of the host pandas selection/evaluation stages at dense
+    scale: the dense detect+track number alone says nothing about whether
+    ``select_tracks``/``evaluate_tracks`` dominate a full ``analyse()`` at
+    10k+ objects. Builds a synthetic dense random-walk track table
+    (n_obj tracks x n_frames rows) and times each stage.
+    """
+    import tempfile
+    import pandas as pd
+    from ysmr_tpu.pipeline.evaluate import evaluate_tracks
+    from ysmr_tpu.pipeline.select import select_tracks
+
+    settings = bench_settings({
+        'store generated statistical .csv file': True,
+        'store final analysed .csv file': False,
+        'save large plots': False,
+        'save rose plot': False,
+        'save time violin plot': False,
+        'save acr violin plot': False,
+        'save length violin plot': False,
+        'save turning point violin plot': False,
+        'save speed violin plot': False,
+        'save displacement violin plot': False,
+        'save percent motile plot': False,
+        'save angle distribution plot / bins': 0,
+    })
+    rng = np.random.default_rng(1)
+    rows = n_obj * n_frames
+    x0 = rng.uniform(20, W - 20, n_obj)[:, None]
+    y0 = rng.uniform(20, H - 20, n_obj)[:, None]
+    df = pd.DataFrame({
+        'TRACK_ID': np.repeat(np.arange(n_obj, dtype=np.uint32), n_frames),
+        'POSITION_T': np.tile(np.arange(n_frames, dtype=np.uint32), n_obj),
+        'POSITION_X': np.clip(
+            x0 + rng.normal(0, 1.2, (n_obj, n_frames)).cumsum(1), 1,
+            W - 2).ravel(),
+        'POSITION_Y': np.clip(
+            y0 + rng.normal(0, 1.2, (n_obj, n_frames)).cumsum(1), 1,
+            H - 2).ravel(),
+        'WIDTH': rng.uniform(4, 6, rows),
+        'HEIGHT': rng.uniform(2, 3, rows),
+        'DEGREES_ANGLE': rng.uniform(0, 180, rows),
+    })
+    out = tempfile.mkdtemp(prefix='ysmr_dense_eval_')
+    stage_csv = os.path.join(out, 'dense_list.csv')
+    t0 = time.perf_counter()
+    sel = select_tracks(path_to_file=stage_csv, df=df, results_directory=out,
+                        settings=settings, fps=FPS, frame_height=H,
+                        frame_width=W)
+    t_select = time.perf_counter() - t0
+    assert sel is not None, 'dense select_tracks failed'
+    t0 = time.perf_counter()
+    res = evaluate_tracks(path_to_file=stage_csv, results_directory=out,
+                          df=sel, settings=settings, fps=FPS)
+    t_evaluate = time.perf_counter() - t0
+    assert res is not None, 'dense evaluate_tracks failed'
+    return {'rows': rows, 'tracks_selected': int(sel['TRACK_ID'].nunique()),
+            'select_s': round(t_select, 2),
+            'evaluate_s': round(t_evaluate, 2)}
+
+
 def main():
     if '--dense' in sys.argv:
         i = sys.argv.index('--dense')
-        n_obj = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and \
-            sys.argv[i + 1].isdigit() else 16000
+        n_obj = 16000
+        if len(sys.argv) > i + 1:
+            try:
+                n_obj = int(sys.argv[i + 1])
+            except ValueError:
+                print('usage: bench.py --dense [N_OBJECTS]', file=sys.stderr)
+                sys.exit(2)
+            if n_obj <= 0:
+                print('bench.py --dense: N_OBJECTS must be positive',
+                      file=sys.stderr)
+                sys.exit(2)
         n_comp, fps = measure_dense(n_obj)
+        try:
+            host_stages = measure_dense_host_stages(n_comp)
+        except Exception as exc:
+            print('dense host-stage measurement failed: {}'.format(exc),
+                  file=sys.stderr)
+            host_stages = None
         print(json.dumps({
             'metric': 'dense_scene_fps_1228x922_{}obj_16k_slots'.format(n_comp),
             'value': fps,
             'unit': 'frames/s',
             'vs_baseline': None,
+            'host_stage_split': host_stages,
         }))
         return
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -213,21 +402,26 @@ def main():
         make_clip(warmup_clip, N_WARMUP_FRAMES, seed=SEED + 1)
 
     baseline_file = os.path.join(CACHE_DIR, 'reference_baseline.json')
-    ref_fps = ref_tracks = None
+    ref_fps = ref_tracks = ref_list_csv = None
     if os.path.isfile(baseline_file):
         try:
             loaded = json.load(open(baseline_file))
             ref_fps = loaded['reference_fps']
             ref_tracks = loaded.get('reference_tracks')
+            ref_list_csv = loaded.get('reference_list_csv')
         except Exception:
             ref_fps = None
-    if ref_fps is None and os.path.isdir('/root/reference'):
+    if (ref_fps is None or not (ref_list_csv and
+                                os.path.isfile(ref_list_csv))) and \
+            os.path.isdir('/root/reference'):
         result_folder = os.path.join(CACHE_DIR, 'ref_results')
         os.makedirs(result_folder, exist_ok=True)
         try:
-            ref_fps, ref_tracks = measure_reference(clip, result_folder)
+            ref_fps, ref_tracks, ref_list_csv = measure_reference(
+                clip, result_folder)
             json.dump({'reference_fps': ref_fps,
-                       'reference_tracks': ref_tracks},
+                       'reference_tracks': ref_tracks,
+                       'reference_list_csv': ref_list_csv},
                       open(baseline_file, 'w'))
         except Exception as exc:  # baseline unavailable; still report ours
             print('reference baseline failed: {}'.format(exc), file=sys.stderr)
@@ -237,17 +431,31 @@ def main():
     os.makedirs(result_folder, exist_ok=True)
     # headline: exact decode mode — pixel-identical input to the reference,
     # hence identical track counts/statistics (the parity requirement)
-    ours_fps, ours_tracks = measure_ours(clip, warmup_clip, result_folder)
+    ours, ours_tracks, our_df = measure_ours(clip, warmup_clip, result_folder)
+    # row-level parity guard on the full 630-frame clip, not just counts
+    try:
+        rows_identical = check_row_parity(our_df, ref_list_csv)
+    except Exception as exc:
+        print('row parity check failed: {}'.format(exc), file=sys.stderr)
+        rows_identical = None
+    # chip-only throughput: what the device does when the host never
+    # starves it (pre-staged batches, scalar-fetch timing)
+    try:
+        device_fps = measure_device_only(clip)
+    except Exception as exc:
+        print('device-only measurement failed: {}'.format(exc),
+              file=sys.stderr)
+        device_fps = None
     # secondary: fast MJPG grayscale decode (gray within +-2 of exact; on
     # this clip 329 tracks vs the reference's 328 — see io/video.py)
     fast_folder = os.path.join(CACHE_DIR, 'our_results_fast')
     os.makedirs(fast_folder, exist_ok=True)
     try:
-        fast_fps, _ = measure_ours(clip, warmup_clip, fast_folder,
-                                   extra={'decode mode': 'fast'})
+        fast, _, _ = measure_ours(clip, warmup_clip, fast_folder,
+                                  extra={'decode mode': 'fast'})
     except Exception as exc:
         print('fast-decode measurement failed: {}'.format(exc), file=sys.stderr)
-        fast_fps = None
+        fast = None
 
     # dense-scene stretch (BASELINE config 5) as secondary fields so the
     # recorded bench carries the scale story too
@@ -257,20 +465,26 @@ def main():
         print('dense measurement failed: {}'.format(exc), file=sys.stderr)
         dense_objects = dense_fps = None
 
-    vs_baseline = (ours_fps / ref_fps) if ref_fps else None
+    value = ours['median']
+    vs_baseline = (value / ref_fps) if ref_fps else None
     print(json.dumps({
         'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
-        'value': round(ours_fps, 2),
+        'value': value,
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
-        'fast_decode_value': round(fast_fps, 2) if fast_fps else None,
+        'value_min': ours['min'],
+        'value_max': ours['max'],
+        'reps': ours['reps'],
+        'device_only_fps': device_fps,
+        'fast_decode_value': fast['median'] if fast else None,
         'fast_decode_vs_baseline':
-            round(fast_fps / ref_fps, 2) if (fast_fps and ref_fps) else None,
+            round(fast['median'] / ref_fps, 2) if (fast and ref_fps) else None,
         'dense_scene_objects_per_frame': dense_objects,
         'dense_scene_fps': dense_fps,
         'track_count': ours_tracks,
         'identical_track_count_vs_reference':
             (ours_tracks == ref_tracks) if ref_tracks else None,
+        'identical_rows_vs_reference': rows_identical,
     }))
 
 

@@ -79,7 +79,9 @@ def test_show_batch_mask_windows_packed(monkeypatch):
                                 np.uint32)
     det['count'] = np.array([2])
     disp.show_batch(frames, 1, det, emis, fps=1.0)
-    assert 'threshold' in shown
+    # marker pixels present -> the foreground preview is labelled as the
+    # pre-propagation set (see display._show_masks)
+    assert 'threshold (pre-propagation)' in shown
     assert 'Adaptive double threshold markers' in shown
 
 

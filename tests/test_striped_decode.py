@@ -144,6 +144,21 @@ def test_striped_short_header_eof(tmp_path):
     assert not reader2.error_during_read
 
 
+def test_striped_long_header_tail_read(tmp_path):
+    """Header frame count UNDER-reporting the stream: the tail worker keeps
+    reading past the claimed count, so striped output still matches the
+    sequential path (which reads until cap.read() fails) frame for frame."""
+    from ysmr_tpu.io.video import BatchedVideoReader
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=23)
+    seq = _collect(BatchedVideoReader(video, batch_size=4))
+    reader = BatchedVideoReader(video, batch_size=4, decode_threads=3)
+    reader.frame_count = 13  # lie: 10 trailing frames beyond the header
+    batches = _collect(reader)
+    _assert_batches_equal(seq, batches)
+    assert reader.frames_read == 23
+    assert not reader.error_during_read
+
+
 def test_striped_truncated_demux_chunk_raises(tmp_path):
     """A mid-stream undecodable MJPG chunk surfaces as VideoReadError from the
     striped fast path, matching sequential semantics."""

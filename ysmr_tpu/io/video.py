@@ -316,11 +316,42 @@ class BatchedVideoReader:
             fused = (self._demux is not None and self.preprocess is not None
                      and callable(getattr(self.preprocess, 'process_jpeg',
                                           None)))
+            n_batches = -(-total // batch_size)
+            # A cv2-decoded container whose header UNDER-reports the frame
+            # count would otherwise silently lose trailing frames (the
+            # sequential path reads until cap.read() fails). The worker that
+            # owns the final planned batch therefore turns it into a
+            # read-to-EOF loop emitting batch_size chunks — byte-identical
+            # batch boundaries to the sequential path — closed by a
+            # 'tail_done' marker the consumer drains. The demux path needs
+            # none of this: its chunk list is the exact ground truth.
+            is_tail_owner = self._demux is None and \
+                wid == (n_batches - 1) % T
             pos = -1
             while not self._stop.is_set():
                 start = seq * batch_size
                 if start >= total:
                     break
+                if is_tail_owner and seq == n_batches - 1:
+                    if pos != start:
+                        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                    idx = start
+                    batch = []
+                    while not self._stop.is_set():
+                        ret, frame = cap.read()
+                        if not ret:
+                            break
+                        batch.append(self._prep_frame(frame))
+                        idx += 1
+                        if len(batch) == batch_size:
+                            out_q.put(('batch', self._stack_batch(batch),
+                                       idx - len(batch), len(batch)))
+                            batch = []
+                    if batch:
+                        out_q.put(('batch', self._stack_batch(batch),
+                                   idx - len(batch), len(batch)))
+                    out_q.put(('tail_done', None, idx, 0))
+                    return
                 n = min(batch_size, total - start)
                 batch = []
                 short = False
@@ -364,6 +395,8 @@ class BatchedVideoReader:
         T = self._n_stripes
         self._total_frames = len(self._demux) if self._demux is not None \
             else self.frame_count
+        n_batches = -(-self._total_frames // self.batch_size)
+        self._tail_wid = (n_batches - 1) % T
         if self._demux is None:
             self._cap.release()  # each worker owns its own capture
         self._stop = threading.Event()
@@ -374,9 +407,11 @@ class BatchedVideoReader:
                    for k in range(T)]
         for t in workers:
             t.start()
-        n_batches = -(-self._total_frames // self.batch_size)
+        # on the cv2 path the final planned batch arrives as a read-to-EOF
+        # tail stream closed by 'tail_done' (see _stripe_worker)
+        planned = n_batches - 1 if self._demux is None else n_batches
         try:
-            for expect in range(n_batches):
+            for expect in range(planned):
                 kind, payload, start, count = queues[expect % T].get()
                 if kind == 'error':
                     self.frames_read = start
@@ -387,7 +422,21 @@ class BatchedVideoReader:
                 if kind == 'short':
                     self.frames_read = start + count
                     return
-            self.frames_read = self._total_frames
+            if self._demux is not None:
+                self.frames_read = self._total_frames
+                return
+            while True:
+                kind, payload, start, count = queues[self._tail_wid].get()
+                if kind == 'error':
+                    self.frames_read = start
+                    self.error_during_read = True
+                    raise VideoReadError(str(payload))
+                if kind == 'tail_done':
+                    self.frames_read = start
+                    break
+                if count:
+                    yield {'frames': payload, 'start': start,
+                           'count': count}
         finally:
             self._stop.set()
             for t in workers:

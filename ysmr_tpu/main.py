@@ -87,10 +87,12 @@ def _discard_quietly(csv_file, log):
         log.exception('Could not delete the intermediate csv: %s', csv_file)
 
 
-def _run_stage_chain(path, settings, folder, meta_kwargs, log):
+def _run_stage_chain(path, settings, folder, meta_kwargs, log, staged=None):
     """Run the per-file stages in order; returns (result, tracker_csv).
 
     Raises ``_StageFailed`` when a stage errors out or the file is skipped.
+    ``staged`` optionally carries a precomputed stage-1 result (the sharded
+    multi-video dispatcher runs detect+track for the whole batch up front).
     """
     if any(marker in path for marker in _FINISHED_MARKERS):
         log.warning('Skipping %s — it is an output of a previous run.', path)
@@ -102,10 +104,11 @@ def _run_stage_chain(path, settings, folder, meta_kwargs, log):
 
     df, tracker_csv = None, None
     if takes_video_stage:
-        if settings['verbose']:
-            log.debug('Treating %s as a video (no .csv extension).', path)
-        staged = track_bacteria(video_path=path, settings=settings,
-                                result_folder=folder)
+        if staged is None:
+            if settings['verbose']:
+                log.debug('Treating %s as a video (no .csv extension).', path)
+            staged = track_bacteria(video_path=path, settings=settings,
+                                    result_folder=folder)
         if staged is None:
             log.warning('Detection/tracking stage failed on %s.', path)
             raise _StageFailed
@@ -149,7 +152,8 @@ def _run_stage_chain(path, settings, folder, meta_kwargs, log):
     return result, tracker_csv
 
 
-def analyse(path, settings=None, result_folder=None, return_df=False, **kwargs):
+def analyse(path, settings=None, result_folder=None, return_df=False,
+            _staged=None, **kwargs):
     """Run the appropriate pipeline stages for one file (video or .csv).
 
     :param kwargs: extra metadata, persisted to the ``_meta.json`` sidecar
@@ -170,7 +174,7 @@ def analyse(path, settings=None, result_folder=None, return_df=False, **kwargs):
     result, tracker_csv = None, None
     try:
         result, tracker_csv = _run_stage_chain(path, settings, result_folder,
-                                               kwargs, log)
+                                               kwargs, log, staged=_staged)
     except _StageFailed:
         result = None
     if tracker_csv and settings['delete .csv file after analysis']:
@@ -253,6 +257,24 @@ def _dispatch_pool(paths, settings, folder, log):
     pool.join()
     return pending
 
+def _dispatch_sharded(paths, settings, folder, log):
+    """Stage 1 for every video at once over the device mesh, then the
+    remaining per-file stages serially (see parallel/multi_video.py)."""
+    from ysmr_tpu.parallel.multi_video import track_videos_sharded
+    videos = [p for p in paths if '.csv' not in p
+              and not any(m in p for m in _FINISHED_MARKERS)]
+    staged = track_videos_sharded(videos, settings, folder) if videos else {}
+    outcomes = {}
+    for path in paths:
+        if path in staged and staged[path] is None:
+            outcomes[path] = None  # stage 1 already failed and logged
+        else:
+            outcomes[path] = analyse(path=path, settings=settings,
+                                     result_folder=folder,
+                                     _staged=staged.get(path))
+    return outcomes
+
+
 def _collect_outcomes(pending, multiprocess, log):
     """Resolve results per path; exceptions count as failures, not aborts."""
     finished, failed = [], []
@@ -312,7 +334,13 @@ def ysmr(paths=None, settings=None, result_folder=None, multiprocess=False):
         result_folder = create_results_folder(paths[0])
     os.makedirs(result_folder, exist_ok=True)
 
-    if multiprocess:
+    if settings['shard videos across devices'] and len(paths) > 1:
+        if multiprocess:
+            log.info('Device-mesh video sharding replaces the process pool '
+                     "('shard videos across devices' is set).")
+            multiprocess = False
+        pending = _dispatch_sharded(paths, settings, result_folder, log)
+    elif multiprocess:
         pending = _dispatch_pool(paths, settings, result_folder, log)
     else:
         pending = {p: analyse(path=p, settings=settings,

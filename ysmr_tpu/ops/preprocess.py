@@ -233,7 +233,6 @@ def resolve_detection_rule(settings):
     the reference bit for bit (verified e2e on dark clips). Bright-mode
     semantics (marker a strict subset) are unchanged.
     """
-    import math
     mode = detect_mode_from_settings(settings)
     offset = effective_threshold_offset(settings)
     if mode != 'adaptive_double':

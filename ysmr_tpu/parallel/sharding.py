@@ -58,19 +58,25 @@ def shard_videos(mesh, frames):
     return jax.device_put(frames, NamedSharding(mesh, spec))
 
 
-def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
-                             tracker_state, tracker_kwargs):
-    """Run detect + tracker scan per video, videos sharded over the mesh.
+def make_multi_video_step(mesh, *, detect_kwargs, tracker_kwargs,
+                          emit_counts=False):
+    """Build the jitted sharded detect+track step for a batch of videos.
 
-    :param frames: (V, T, H, W, 3) uint8, V divisible by mesh size
-    :param tracker_state: per-video tracker state pytree with leading dim V
-    :return: (new_tracker_state, emissions) — all (V, ...) sharded
+    The returned callable maps ``(frames (V, T, H, W, 3) uint8,
+    frame_valid (V, T) bool, tracker_state with leading dim V)`` to
+    ``(new_tracker_state, emissions)`` — all (V, ...) sharded over the
+    ``videos`` axis. Build it ONCE per run and call it per frame batch:
+    the tracker state threads through, so a long video is scanned in
+    batches under the mesh without recompilation.
+
+    :param emit_counts: also return the per-frame component counts
+        (V, T) so the host can warn about detection-table overflow
     """
     from ysmr_tpu.ops import preprocess as pp
     from ysmr_tpu.pipeline import detect as det
     from ysmr_tpu.pipeline import tracker as trk
 
-    # the Pallas sweep gate must come from the mesh's actual devices: after a
+    # the Pallas gates must come from the mesh's actual devices: after a
     # mid-process platform switch (CPU-mesh dry run on a TPU-pinned
     # interpreter) global backend queries can disagree with the mesh
     detect_kwargs = dict(detect_kwargs)
@@ -89,6 +95,8 @@ def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
         new_state, emissions = trk.run_tracker_scan(
             state, tables['det_xy'], tables['det_info'], tables['det_valid'],
             **tracker_kwargs)
+        if emit_counts:
+            emissions = dict(emissions, n_components=tables['n_components'])
         return new_state, emissions
 
     def sharded(video_frames, video_valid, state):
@@ -99,6 +107,18 @@ def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
     fn = shard_map(sharded, mesh=mesh,
                    in_specs=(vspec, vspec, vspec),
                    out_specs=(vspec, vspec), check_vma=False)
+    return jax.jit(fn)
+
+
+def multi_video_detect_track(mesh, frames, frame_valid, *, detect_kwargs,
+                             tracker_state, tracker_kwargs):
+    """One sharded detect+track step (see :func:`make_multi_video_step`).
+
+    Convenience wrapper for single-shot callers; loops should build the
+    step once with ``make_multi_video_step`` and reuse it.
+    """
+    fn = make_multi_video_step(mesh, detect_kwargs=detect_kwargs,
+                               tracker_kwargs=tracker_kwargs)
     return fn(frames, frame_valid, tracker_state)
 
 

@@ -116,7 +116,13 @@ class LiveDisplay:
             marker_t = marker[t][:n] if marker is not None else None
         mask = np.zeros((self.h, self.w), np.uint8)
         mask[ys, xs] = 255
-        cv2.imshow('threshold', mask)
+        # in adaptive-double mode these are the host-side pre-propagation
+        # foreground pixels; components later pruned by the device marker
+        # reconstruction still appear here (the reference's 'threshold'
+        # window shows the post-propagation mask, track_eval.py:270)
+        window = 'threshold (pre-propagation)' if marker_t is not None \
+            else 'threshold'
+        cv2.imshow(window, mask)
         if marker_t is not None and (marker_t > 0).any():
             mmask = np.zeros((self.h, self.w), np.uint8)
             keep = marker_t > 0

@@ -32,8 +32,13 @@ from ysmr_tpu.utils.logging_utils import get_loggers
 _H2D_BANDWIDTH = None
 
 
-def probe_h2d_bandwidth():
-    """Measured host->device bandwidth in bytes/s (cached per process)."""
+def probe_h2d_bandwidth(n_probes=3):
+    """Measured host->device bandwidth in bytes/s (cached per process).
+
+    Median of ``n_probes`` separate transfers: the tunnelled link swings up
+    to 2x across minutes, and a single noisy probe would pick the wrong
+    transfer mode for the whole run.
+    """
     global _H2D_BANDWIDTH
     if _H2D_BANDWIDTH is None:
         import time
@@ -42,9 +47,12 @@ def probe_h2d_bandwidth():
         x = np.zeros(4 * 1024 * 1024, np.uint8)
         f = jax.jit(lambda a: jnp.sum(a[::65536].astype(jnp.int32)))
         int(f(x))  # compile + first transfer
-        t0 = time.perf_counter()
-        int(f(x + 1))
-        _H2D_BANDWIDTH = len(x) / max(time.perf_counter() - t0, 1e-6)
+        samples = []
+        for i in range(n_probes):
+            t0 = time.perf_counter()
+            int(f(x + np.uint8(i + 1)))
+            samples.append(len(x) / max(time.perf_counter() - t0, 1e-6))
+        _H2D_BANDWIDTH = float(np.median(samples))
     return _H2D_BANDWIDTH
 
 
