@@ -85,10 +85,12 @@ def test_sorted_compaction_equals_default(rng, mode_val, lum):
               cc_iters=config.cc_iters, include_luminosity=lum)
     counts = np.array([b['count'] for b in batches], np.int32)
     if lum:
+        # lum mode ships split coordinates + the full gray plane (the
+        # rect-mean luminosity needs background pixels, ops/luminosity.py)
         args = (np.stack([b['px_x'] for b in batches]),
                 np.stack([b['px_y'] for b in batches]), counts,
                 np.stack([b['px_marker'] for b in batches]), frame_valid)
-        kw['px_gray'] = np.stack([b['px_gray'] for b in batches])
+        kw['gray_frames'] = np.stack([b['gray'] for b in batches])
     else:
         args = (None, None, counts, None, frame_valid)
         kw['px_packed'] = np.stack([b['px_packed'] for b in batches])

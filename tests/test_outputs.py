@@ -107,7 +107,7 @@ def test_pixels_luminosity_matches_frames(rng):
         frame_valid, h=h, w=w, double_threshold=True,
         max_det=config.max_det, max_bh=config.max_bh, cc_iters=config.cc_iters,
         include_luminosity=True,
-        px_gray=np.stack([b['px_gray'] for b in batches]))
+        gray_frames=np.stack([b['gray'] for b in batches]))
     assert np.array_equal(np.asarray(got['det_valid']), np.asarray(ref['det_valid']))
     np.testing.assert_allclose(np.asarray(got['det_xy']), np.asarray(ref['det_xy']),
                                atol=1e-4)
@@ -115,8 +115,8 @@ def test_pixels_luminosity_matches_frames(rng):
 
 def test_track_bacteria_luminosity_end_to_end(tmp_path):
     """Full luminosity pipeline: ILLUMINATION column written, values in the
-    reference's scale (gray/100, track_eval.py:290-300 — ours averages the
-    component's own pixels, MIGRATION.md item 5), tracking unaffected."""
+    reference's scale (gray/100; exact filled-rotated-rect mean of
+    track_eval.py:290-300 — see ops/luminosity.py), tracking unaffected."""
     import pandas as pd
     from tests.test_e2e_parity import _make_settings, make_synthetic_video
     from ysmr_tpu.pipeline.track_bacteria import track_bacteria
@@ -133,12 +133,12 @@ def test_track_bacteria_luminosity_end_to_end(tmp_path):
     res = track_bacteria(video, settings=lum, result_folder=str(out_b))
     assert res is not None
     df, fps, fh, fw, csv = res
-    # the returned frame keeps the reference's 7-column dtype map (the
-    # reference's get_data usecols also drops ILLUMINATION on re-read,
-    # helper_file.py:880-889); the CSV artifact carries the column
+    # both the returned frame and the CSV artifact keep ILLUMINATION
+    # (the REFERENCE loses it in its final sort/rewrite — get_data usecols,
+    # helper_file.py:880-890 — a quirk, not a contract; MIGRATION.md §7)
     assert list(df.columns) == ['TRACK_ID', 'POSITION_T', 'POSITION_X',
                                 'POSITION_Y', 'WIDTH', 'HEIGHT',
-                                'DEGREES_ANGLE']
+                                'DEGREES_ANGLE', 'ILLUMINATION']
     on_disk = pd.read_csv(csv)
     assert 'ILLUMINATION' in on_disk.columns
     on_screen = on_disk[on_disk['WIDTH'] > 0]  # missing-object rows are zero

@@ -78,27 +78,13 @@ class HostPreprocessor:
             mode_id = 1 if self.mode == 'adaptive_double' else 0
             s2_args = (mode_id, self.white_on_dark, -float(self.offset),
                        -float(self.offset + self.double_delta), 0)
-        if not self.include_luminosity:
-            packed = np.zeros(self.max_fg, np.uint32)
-            count = native.preprocess_stage2_packed(*s2_args, packed)
-            if count > self.max_fg:
-                with self._overflow_lock:
-                    self.overflowed += 1
-                count = self.max_fg
-            return {'px_packed': packed, 'count': count}
-        xs = np.empty(self.max_fg, np.int16)
-        ys = np.empty(self.max_fg, np.int16)
-        flags = np.zeros(self.max_fg, np.uint8)
-        count = native.preprocess_stage2_only(*s2_args, xs, ys, flags)
+        packed = np.zeros(self.max_fg, np.uint32)
+        count = native.preprocess_stage2_packed(*s2_args, packed)
         if count > self.max_fg:
             with self._overflow_lock:
                 self.overflowed += 1
             count = self.max_fg
-        out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
-        g = np.zeros(self.max_fg, np.int16)
-        native.gray_at_pixels(xs, ys, count, g)
-        out['px_gray'] = g
-        return out
+        return {'px_packed': packed, 'count': count}
 
     def process_jpeg(self, jpg_buf):
         """Fused native JPEG-grayscale decode + preprocessing.
@@ -108,8 +94,10 @@ class HostPreprocessor:
         Returns None when the native jpeg path is unavailable or the frame
         fails to decode (caller falls back to cv2.imdecode + __call__).
         """
-        if self.keep_frames:
-            return None  # fused decode keeps no frame object; use fallback
+        if self.keep_frames or self.include_luminosity:
+            # fused decode keeps no frame object (display) and no full gray
+            # plane (exact rect luminosity); use the fallback path
+            return None
         if self.mode == 'mean':
             res = native.decode_jpeg_gray_stage1(jpg_buf, need_mean=False,
                                                  want_stats=True)
@@ -127,7 +115,10 @@ class HostPreprocessor:
         """frame -> dict of px_x, px_y, px_marker, px_gray, count."""
         default_gray = (frame_bgr.ndim == 2 or
                         self.color_filter == cv2.COLOR_BGR2GRAY)
-        if native.available() and default_gray:
+        # luminosity mode ships the full gray plane (the exact rotated-rect
+        # mean needs background pixels too); the native single-pass keeps
+        # gray in its own buffers, so use the cv2 path where it is exposed
+        if native.available() and default_gray and not self.include_luminosity:
             return self._call_native(frame_bgr)
         if frame_bgr.ndim == 3:
             gray = cv2.cvtColor(frame_bgr, self.color_filter)
@@ -169,10 +160,7 @@ class HostPreprocessor:
             count = self.max_fg
         out = {'px_x': xs, 'px_y': ys, 'px_marker': flags, 'count': count}
         if self.include_luminosity:
-            g = np.zeros(self.max_fg, np.int16)
-            n = min(count, self.max_fg)
-            g[:n] = gray[ys[:n], xs[:n]]
-            out['px_gray'] = g
+            out['gray'] = np.ascontiguousarray(gray)
         if self.keep_frames:
             out['display_frames'] = np.ascontiguousarray(frame_bgr)
         return out

@@ -260,7 +260,8 @@ def _run_group(paths, metas, settings, result_folder, mesh, log):
                          double_delta=config.double_delta,
                          max_det=config.max_det, max_bh=config.max_bh,
                          cc_iters=config.cc_iters,
-                         include_luminosity=config.include_luminosity)
+                         include_luminosity=config.include_luminosity,
+                         lum_win=config.lum_win)
     step = shd.make_multi_video_step(mesh, detect_kwargs=detect_kwargs,
                                      tracker_kwargs=tracker_kwargs,
                                      emit_counts=True)

@@ -30,11 +30,13 @@ class DetectorConfig:
         self.max_bh = settings.get('max bounding box height', 96)
         self.cc_iters = settings['connected components max iterations']
         self.include_luminosity = settings['include luminosity in tracking calculation']
+        self.lum_win = settings.get('luminosity window size', 48)
         self.fps = fps
 
     def static_key(self):
         return (self.mode, self.white_on_dark, self.offset, self.double_delta,
-                self.max_det, self.max_bh, self.cc_iters, self.include_luminosity)
+                self.max_det, self.max_bh, self.cc_iters,
+                self.include_luminosity, self.lum_win)
 
 
 @partial(jax.jit, static_argnames=('needs_sums',))
@@ -56,11 +58,13 @@ def prepare_batch(frames_bgr, needs_sums=False):
 @partial(jax.jit, static_argnames=('mode', 'white_on_dark', 'offset',
                                    'double_delta', 'max_det', 'max_bh',
                                    'cc_iters', 'include_luminosity',
-                                   'use_pallas_sweep', 'use_pallas_cc'))
+                                   'lum_win', 'use_pallas_sweep',
+                                   'use_pallas_cc'))
 def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
                         mode, white_on_dark, offset, double_delta,
                         max_det, max_bh, cc_iters, include_luminosity,
-                        use_pallas_sweep=None, use_pallas_cc=False):
+                        lum_win=48, use_pallas_sweep=None,
+                        use_pallas_cc=False):
     """Detection tables from preprocessed frames.
 
     :param gray: (T, H, W) int32
@@ -95,7 +99,7 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
 
     def per_frame(m, g, labels):
         comp, n = lb.compact_labels(labels, m, max_det=max_det)
-        tables = lb.component_tables(comp, m, gray=g if include_luminosity else None,
+        tables = lb.component_tables(comp, m, gray=None,
                                      max_det=max_det, max_bh=max_bh)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
@@ -103,13 +107,13 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
                                 use_pallas_sweep=use_pallas_sweep)
         valid = tables['count'] > 0
         if include_luminosity:
-            # Deviation from the reference noted: the reference averages gray
-            # over the *filled rotated rectangle* (track_eval.py:290-300);
-            # this build averages over the component's own pixels, which for
-            # compact blobs is the same intensity signal without a second
-            # rasterisation pass. Divided by 100 as the reference does.
-            lum = tables['lum_sum'].astype(jnp.float32) / \
-                jnp.maximum(tables['count'], 1) / 100.0
+            # reference-exact: mean gray over the FILLED ROTATED RECTANGLE
+            # (cv2.boxPoints + fillPoly + cv2.mean / 100,
+            # track_eval.py:290-300) — see ops/luminosity.py
+            from ysmr_tpu.ops.luminosity import rect_mean_luminosity
+            lum = rect_mean_luminosity(g, rect['cx'], rect['cy'], rect['w'],
+                                       rect['h'], rect['angle_deg'], valid,
+                                       win=lum_win)
         else:
             lum = None
         return rect, valid, n, lum
@@ -161,4 +165,5 @@ def detect_batch(frames_bgr, frame_valid, config, threshold_state=None,
         max_det=config.max_det, max_bh=config.max_bh,
         cc_iters=config.cc_iters,
         include_luminosity=config.include_luminosity,
+        lum_win=config.lum_win,
         use_pallas_sweep=use_pallas, use_pallas_cc=use_pallas)

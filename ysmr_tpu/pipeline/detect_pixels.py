@@ -28,11 +28,12 @@ _FORCE_SORT_COMPACT = False
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
                                    'max_bh', 'cc_iters', 'include_luminosity',
-                                   'use_pallas', 'use_table'))
+                                   'lum_win', 'use_pallas', 'use_table'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
-                       include_luminosity=False, px_gray=None,
-                       use_pallas=False, use_table=False, px_packed=None):
+                       include_luminosity=False, px_gray=None, lum_win=48,
+                       gray_frames=None, use_pallas=False, use_table=False,
+                       px_packed=None):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -45,7 +46,12 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     :param px_marker: (T, F) bool/uint8 — stricter-threshold membership;
         may be None when ``px_packed`` is given
     :param frame_valid: (T,) bool
-    :param px_gray: optional (T, F) int grayscale at the pixels (luminosity)
+    :param px_gray: optional (T, F) int grayscale at the pixels — the
+        component-pixel-mean luminosity fallback when no full frames are
+        available
+    :param gray_frames: optional (T, H, W) uint8 full grayscale frames;
+        when given with ``include_luminosity``, the ILLUMINATION value is
+        the reference-exact filled-rotated-rect mean (ops/luminosity.py)
     :param px_packed: optional (T, F) uint32 packed wire format
         (bits 0..30 = y*w + x, bit 31 = marker) replacing px_x/px_y/px_marker
         — 20 % less host-device traffic
@@ -205,25 +211,37 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         gray_in = px_gray.astype(jnp.int32) if px_gray is not None \
             else jnp.zeros_like(px_x)
 
-    def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f):
+    exact_lum = include_luminosity and gray_frames is not None
+
+    def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f, frame_gray):
         tables = lb.component_stats(
             px_x_f, px_y_f, seg_f, keep_f,
-            gray_vals=gray_f if include_luminosity else None,
+            gray_vals=gray_f if (include_luminosity and not exact_lum)
+            else None,
             max_det=max_det, max_bh=max_bh)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
                                 use_pallas_sweep=use_pallas)
         det_valid = tables['count'] > 0
-        if include_luminosity:
+        if exact_lum:
+            # reference-exact filled-rotated-rect mean (track_eval.py:290-300)
+            from ysmr_tpu.ops.luminosity import rect_mean_luminosity
+            lum = rect_mean_luminosity(frame_gray, rect['cx'], rect['cy'],
+                                       rect['w'], rect['h'],
+                                       rect['angle_deg'], det_valid,
+                                       win=lum_win)
+        elif include_luminosity:
             lum = tables['lum_sum'].astype(jnp.float32) / \
                 jnp.maximum(tables['count'], 1) / 100.0
         else:
             lum = jnp.zeros_like(rect['cx'])
         return rect, det_valid, lum
 
+    gray_frames_in = gray_frames if exact_lum else jnp.zeros((t, 1, 1),
+                                                             jnp.int32)
     rect, det_valid, lum = jax.vmap(per_frame_stats)(
-        seg, keep, px_x, px_y, gray_in)
+        seg, keep, px_x, px_y, gray_in, gray_frames_in)
     xy = [rect['cx'], rect['cy']]
     if include_luminosity:
         xy.append(lum)

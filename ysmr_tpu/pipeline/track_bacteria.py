@@ -350,6 +350,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     max_det=config.max_det, max_bh=config.max_bh,
                     cc_iters=config.cc_iters,
                     include_luminosity=config.include_luminosity,
+                    gray_frames=data.get('gray')
+                    if config.include_luminosity else None,
+                    lum_win=config.lum_win,
                     px_gray=data['px_gray']
                     if config.include_luminosity and 'px_gray' in data else None,
                     use_pallas=use_pallas, use_table=use_table_cc)

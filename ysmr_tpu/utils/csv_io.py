@@ -264,8 +264,10 @@ def finalize_sorted_list(parts, list_name, illumination=False, save_file=True):
         with open(list_name, 'w+', newline='') as file:
             file.write((CSV_HEADER_ILLUMINATION if with_lum else CSV_HEADER) + '\n')
             file.write(text)
-    return pd.DataFrame({k: arrays[k].astype(dt)
-                         for k, dt in DEFAULT_DTYPE.items()})
+    dtype = dict(DEFAULT_DTYPE)
+    if with_lum:
+        dtype['ILLUMINATION'] = np.float64
+    return pd.DataFrame({k: arrays[k].astype(dt) for k, dt in dtype.items()})
 
 
 def collate_results_csv_to_xlsx(path=None, save_path=None, csv_extension='statistics.csv'):
