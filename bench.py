@@ -140,26 +140,47 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=5):
 
 def check_row_parity(our_df, ref_list_csv):
     """Row-level comparison of our exact-mode tracker output against the
-    reference's cached ``_list.csv``: identical (TRACK_ID, POSITION_T)
-    sequences and positions within the e2e tolerance (0.08 px)."""
+    reference's cached ``_list.csv``.
+
+    Returns (strict_bool, detail dict). Strict means identical
+    (TRACK_ID, POSITION_T) sequences and positions within the e2e
+    tolerance (0.08 px). The detail quantifies the known id-permutation
+    mode: a DISAPPEARED track coasts on GSFF self-feedback, which
+    integrates the ~0.08 px centroid tolerance into pixels of drift over
+    tens of frames; when an object reappears near two candidates, the
+    greedy winner can flip, permuting the id numbering from there on
+    while track counts and statistics survive (MIGRATION.md §1).
+    """
     import pandas as pd
     if not (ref_list_csv and os.path.isfile(ref_list_csv)):
-        return None
+        return None, None
     ref = pd.read_csv(ref_list_csv)
     ref = ref.sort_values(['TRACK_ID', 'POSITION_T'], kind='stable')
+    detail = {'total_rows': int(ref.shape[0])}
     if our_df.shape[0] != ref.shape[0]:
-        return False
-    if our_df['TRACK_ID'].tolist() != ref['TRACK_ID'].astype(int).tolist():
-        return False
-    if our_df['POSITION_T'].tolist() != ref['POSITION_T'].astype(int).tolist():
-        return False
+        detail['row_count_ours'] = int(our_df.shape[0])
+        return False, detail
+    ids_o = our_df['TRACK_ID'].to_numpy(dtype=np.int64)
+    ids_r = ref['TRACK_ID'].to_numpy(dtype=np.int64)
+    t_o = our_df['POSITION_T'].to_numpy(dtype=np.int64)
+    t_r = ref['POSITION_T'].to_numpy(dtype=np.int64)
+    mismatch = (ids_o != ids_r) | (t_o != t_r)
+    detail['id_mismatch_rows'] = int(mismatch.sum())
+    detail['id_agreement'] = round(1.0 - mismatch.mean(), 4)
+    if mismatch.any():
+        first = int(np.nonzero(mismatch)[0][0])
+        detail['first_mismatch_row'] = first
+        return False, detail
+    ok = True
     for col, atol in (('POSITION_X', 0.08), ('POSITION_Y', 0.08)):
-        if not np.allclose(our_df[col].to_numpy(dtype=float),
-                           ref[col].to_numpy(dtype=float), atol=atol):
-            return False
+        diff = np.abs(our_df[col].to_numpy(dtype=float) -
+                      ref[col].to_numpy(dtype=float))
+        detail['max_abs_diff_{}'.format(col)] = round(float(diff.max()), 4)
+        ok = ok and bool((diff <= atol).all())
     area_o = (our_df['WIDTH'] * our_df['HEIGHT']).to_numpy(dtype=float)
     area_r = (ref['WIDTH'] * ref['HEIGHT']).to_numpy(dtype=float)
-    return bool(np.allclose(area_o, area_r, atol=0.08, rtol=0.01))
+    ok = ok and bool(np.allclose(area_o, area_r, atol=0.08, rtol=0.01))
+    return ok, detail
 
 
 def measure_device_only(clip, n_batches=4, reps=5):
@@ -434,10 +455,10 @@ def main():
     ours, ours_tracks, our_df = measure_ours(clip, warmup_clip, result_folder)
     # row-level parity guard on the full 630-frame clip, not just counts
     try:
-        rows_identical = check_row_parity(our_df, ref_list_csv)
+        rows_identical, parity_detail = check_row_parity(our_df, ref_list_csv)
     except Exception as exc:
         print('row parity check failed: {}'.format(exc), file=sys.stderr)
-        rows_identical = None
+        rows_identical = parity_detail = None
     # chip-only throughput: what the device does when the host never
     # starves it (pre-staged batches, scalar-fetch timing)
     try:
@@ -485,6 +506,7 @@ def main():
         'identical_track_count_vs_reference':
             (ours_tracks == ref_tracks) if ref_tracks else None,
         'identical_rows_vs_reference': rows_identical,
+        'row_parity_detail': parity_detail,
     }))
 
 

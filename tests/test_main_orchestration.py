@@ -126,3 +126,42 @@ def test_ysmr_multiprocess_pool(tmp_path):
     assert os.path.isfile(os.path.join(result_folder, 'a_statistics.csv'))
     done = {p: r for p, r in finished}
     assert done.get(v_bad) is None
+
+
+@pytest.mark.e2e
+def test_ysmr_multiprocess_with_parent_device_held(tmp_path):
+    """Pool dispatch while the PARENT process already holds a JAX backend:
+    workers are pinned to the CPU backend (main._pool_worker_init), so N
+    workers never race for one accelerator. The batch must complete with
+    artifacts, not hang or crash."""
+    import jax
+    import jax.numpy as jnp
+    from tests.test_e2e_parity import make_synthetic_video
+    from ysmr_tpu.main import _pool_worker_init, ysmr
+    # simulate "parent owns the device": initialise the backend up front
+    assert float(jnp.sum(jnp.ones((4,)))) == 4.0
+    assert jax.devices()
+    v1 = make_synthetic_video(str(tmp_path / 'a.avi'), n_frames=60, seed=3)
+    settings = _settings_for(tmp_path, v1)
+    settings['minimal length in seconds'] = 1.0
+    settings['limit track length to x seconds'] = 1.5
+    settings['collate results csv to xlsx'] = False
+    result_folder = str(tmp_path / 'results_mp2')
+    os.makedirs(result_folder)
+    for attempt in range(2):  # spawn workers can starve under suite load
+        finished = ysmr(paths=[v1], settings=settings,
+                        result_folder=result_folder, multiprocess=True)
+        assert finished is not None
+        if os.path.isfile(os.path.join(result_folder, 'a_statistics.csv')):
+            break
+    assert os.path.isfile(os.path.join(result_folder, 'a_statistics.csv'))
+    # the initializer pins workers to the CPU plugin
+    old = os.environ.get('JAX_PLATFORMS')
+    try:
+        _pool_worker_init()
+        assert os.environ['JAX_PLATFORMS'] == 'cpu'
+    finally:
+        if old is None:
+            os.environ.pop('JAX_PLATFORMS', None)
+        else:
+            os.environ['JAX_PLATFORMS'] = old

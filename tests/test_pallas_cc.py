@@ -59,6 +59,25 @@ def test_pallas_cc_matches_xla_labeling(rng, double):
             assert lab_fg[i] == -1
 
 
+def test_binary_reconstruct_matches_scipy(rng):
+    """Bit-packed binary propagation == scipy.ndimage.binary_propagation
+    (the reference's double-threshold keep rule), incl. a 33-frame batch
+    that spans two bit planes and an all-background frame."""
+    from scipy.ndimage import binary_propagation
+    from ysmr_tpu.ops.pallas_cc import binary_reconstruct
+    t, h, w = 33, 60, 150
+    mask = np.zeros((t, h, w), bool)
+    marker = np.zeros((t, h, w), bool)
+    for i in range(t - 1):
+        m, k, *_ = _random_pixel_scene(rng, h, w)
+        mask[i], marker[i] = m, k & m
+    got = np.asarray(binary_reconstruct(mask, marker, max_iters=64,
+                                        interpret=True))
+    for i in range(t):
+        want = binary_propagation(marker[i], mask=mask[i])
+        assert np.array_equal(got[i], want), i
+
+
 def test_whole_frame_labeling_matches_xla(rng):
     from ysmr_tpu.ops.pallas_cc import label_components_whole_frame
     import tests.test_labeling as TL

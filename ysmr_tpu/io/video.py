@@ -99,7 +99,8 @@ class BatchedVideoReader:
     """
 
     def __init__(self, video_path, batch_size=16, prefetch=3, color_filter=None,
-                 preprocess=None, decode_mode='exact', decode_threads=1):
+                 preprocess=None, decode_mode='exact', decode_threads=1,
+                 threaded=True):
         self.logger = logging.getLogger('ysmr').getChild(__name__)
         self.path = video_path
         self.batch_size = batch_size
@@ -143,6 +144,11 @@ class BatchedVideoReader:
         self.frames_read = 0
         self.error_during_read = False
         self.read_stopped_early = False
+        # threaded=False decodes inline in the consumer: on a single-core
+        # host a decode thread buys no parallelism (the GIL and the core are
+        # both contended) and costs context switches; device work still
+        # overlaps because dispatch is asynchronous either way
+        self.threaded = threaded
         self._n_stripes = self._resolve_stripes(decode_threads)
 
     def _resolve_stripes(self, decode_threads):
@@ -211,7 +217,11 @@ class BatchedVideoReader:
             return frame
         return self.preprocess(frame)
 
-    def _decode_loop(self):
+    def _decode_batches(self):
+        """Generator of (payload, start, count) — the single decode flow
+        shared by the threaded and inline iterators. Updates
+        ``frames_read`` as it goes; raises VideoReadError on decode errors;
+        always releases the capture/demux handle."""
         cap = self._cap
         batch = []
         start = 0
@@ -222,6 +232,7 @@ class BatchedVideoReader:
                  callable(getattr(self.preprocess, 'process_jpeg', None)))
         try:
             while True:
+                self.frames_read = idx
                 if self._demux is not None:
                     if idx >= len(self._demux):
                         break
@@ -232,9 +243,8 @@ class BatchedVideoReader:
                             batch.append(entry)
                             idx += 1
                             if len(batch) == self.batch_size:
-                                self._queue.put(('batch',
-                                                 self._stack_batch(batch),
-                                                 start, len(batch)))
+                                yield self._stack_batch(batch), start, \
+                                    len(batch)
                                 batch = []
                                 start = idx
                             continue
@@ -255,26 +265,40 @@ class BatchedVideoReader:
                 batch.append(self._prep_frame(frame))
                 idx += 1
                 if len(batch) == self.batch_size:
-                    self._queue.put(('batch', self._stack_batch(batch),
-                                     start, len(batch)))
+                    yield self._stack_batch(batch), start, len(batch)
                     batch = []
                     start = idx
             if batch:
-                self._queue.put(('batch', self._stack_batch(batch),
-                                 start, len(batch)))
-            self._queue.put(('done', None, idx, 0))
-        except Exception as exc:  # surfaced on the consumer side
-            self._queue.put(('error', exc, idx, 0))
+                yield self._stack_batch(batch), start, len(batch)
+            self.frames_read = idx
         finally:
             if self._demux is not None:
                 self._demux.close()
             else:
                 cap.release()
 
+    def _decode_loop(self):
+        try:
+            for payload, start, count in self._decode_batches():
+                self._queue.put(('batch', payload, start, count))
+            self._queue.put(('done', None, self.frames_read, 0))
+        except Exception as exc:  # surfaced on the consumer side
+            self._queue.put(('error', exc, self.frames_read, 0))
+
     def __iter__(self):
         if self._n_stripes > 1:
             return self._iter_striped()
+        if not self.threaded:
+            return self._iter_inline()
         return self._iter_sequential()
+
+    def _iter_inline(self):
+        try:
+            for payload, start, count in self._decode_batches():
+                yield {'frames': payload, 'start': start, 'count': count}
+        except VideoReadError:
+            self.error_during_read = True
+            raise
 
     def _iter_sequential(self):
         self._thread = threading.Thread(target=self._decode_loop, daemon=True)

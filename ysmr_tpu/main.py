@@ -247,10 +247,27 @@ def _confirm_interactive(settings, log):
     return True
 
 
+def _pool_worker_init():
+    """Pin pool workers to the CPU backend.
+
+    A TPU chip is exclusively held by one process: N spawned workers
+    racing to initialise the same accelerator either deadlock on the
+    device lock or die on acquisition. Process-pool parallelism is a
+    host-CPU feature (one worker per video, as in the reference); the
+    accelerator path for many videos is the device-mesh sharded mode
+    ('shard videos across devices').
+    """
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+
+
 def _dispatch_pool(paths, settings, folder, log):
     """One spawn worker per file, maxtasksperchild=1 (worker isolation as in
     reference main.py:281-313); returns {path: AsyncResult}."""
-    pool = mp.get_context('spawn').Pool(maxtasksperchild=1)
+    log.info("Process-pool workers run on the CPU backend; set 'shard "
+             "videos across devices' to batch videos over the accelerator "
+             'instead.')
+    pool = mp.get_context('spawn').Pool(maxtasksperchild=1,
+                                        initializer=_pool_worker_init)
     pending = {p: pool.apply_async(analyse, args=(p, settings, folder))
                for p in paths}
     pool.close()

@@ -40,18 +40,19 @@ def _neighbor_min(lab, invalid, connectivity):
     big = invalid
     pad = jnp.pad(lab, 1, mode='constant', constant_values=big)
     h, w = lab.shape
+    if connectivity == 8:
+        # separable 3x3 min (vertical min of horizontal mins): 4 shifted
+        # slices instead of 8 — exact for 8-connectivity, every pixel of
+        # the 3x3 block is itself an 8-neighbour
+        hmin = jnp.minimum(pad[:, 1:w + 1],
+                           jnp.minimum(pad[:, 0:w], pad[:, 2:w + 2]))
+        return jnp.minimum(hmin[0:h], jnp.minimum(hmin[1:h + 1],
+                                                  hmin[2:h + 2]))
     up = pad[0:h, 1:w + 1]
     down = pad[2:h + 2, 1:w + 1]
     left = pad[1:h + 1, 0:w]
     right = pad[1:h + 1, 2:w + 2]
-    m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
-    if connectivity == 8:
-        ul = pad[0:h, 0:w]
-        ur = pad[0:h, 2:w + 2]
-        dl = pad[2:h + 2, 0:w]
-        dr = pad[2:h + 2, 2:w + 2]
-        m = jnp.minimum(m, jnp.minimum(jnp.minimum(ul, ur), jnp.minimum(dl, dr)))
-    return m
+    return jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
 
 
 @partial(jax.jit, static_argnames=('connectivity', 'max_iters', 'jump_every'))

@@ -55,18 +55,23 @@ def _stencil_converge(lab, connectivity, max_iters):
     def one_iter(state):
         lab, _, it = state
         # pltpu.roll requires non-negative shifts; size-1 == -1 (circular)
-        up = pltpu.roll(lab, 1, 0)
-        down = pltpu.roll(lab, hp - 1, 0)
-        left = pltpu.roll(lab, 1, 1)
-        right = pltpu.roll(lab, wp - 1, 1)
-        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
         if connectivity == 8:
-            ul = pltpu.roll(up, 1, 1)
-            ur = pltpu.roll(up, wp - 1, 1)
-            dl = pltpu.roll(down, 1, 1)
-            dr = pltpu.roll(down, wp - 1, 1)
-            m = jnp.minimum(m, jnp.minimum(jnp.minimum(ul, ur),
-                                           jnp.minimum(dl, dr)))
+            # separable 3x3 min: vertical min of horizontal mins covers the
+            # full 8-neighbourhood with 4 rolls instead of 8 — exact for
+            # 8-connectivity because every pixel of the 3x3 block is itself
+            # an 8-neighbour (background holds the sentinel, so paths
+            # "through" it contribute nothing)
+            hmin = jnp.minimum(lab, jnp.minimum(pltpu.roll(lab, 1, 1),
+                                                pltpu.roll(lab, wp - 1, 1)))
+            m = jnp.minimum(pltpu.roll(hmin, 1, 0),
+                            pltpu.roll(hmin, hp - 1, 0))
+            m = jnp.minimum(m, hmin)
+        else:
+            up = pltpu.roll(lab, 1, 0)
+            down = pltpu.roll(lab, hp - 1, 0)
+            left = pltpu.roll(lab, 1, 1)
+            right = pltpu.roll(lab, wp - 1, 1)
+            m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
         new = jnp.where(is_fg, jnp.minimum(lab, m), _SENTINEL)
         return new, jnp.any(new != lab), it + 1
 
@@ -228,6 +233,79 @@ def label_components_whole_frame(mask, connectivity=8, max_iters=64,
         interpret=interpret,
     )(mask_p)
     return labels[:, :h, :w]
+
+
+def _reconstruct_kernel(hp, wp, max_iters):
+    def kernel(mask_ref, marker_ref, out_ref):
+        m = mask_ref[0]
+        k = marker_ref[0] & m
+
+        def grow(state):
+            k, _, it = state
+            spread = k | pltpu.roll(k, 1, 0) | pltpu.roll(k, hp - 1, 0) | \
+                pltpu.roll(k, 1, 1) | pltpu.roll(k, wp - 1, 1)
+            new = spread & m
+            return new, jnp.any(new != k), it + 1
+
+        def cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < max_iters)
+
+        k, _, _ = jax.lax.while_loop(cond, grow, (k, True, jnp.int32(0)))
+        out_ref[0] = k
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('max_iters', 'interpret'))
+def binary_reconstruct(mask, marker, max_iters=64, interpret=False):
+    """Morphological reconstruction of ``marker`` under ``mask`` (4-conn).
+
+    scipy.ndimage.binary_propagation semantics (the reference's
+    double-threshold keep rule, track_eval.py:211-214): a pixel survives iff
+    it is 4-connected to a marker pixel within the mask. Implemented
+    BIT-PACKED — 32 frames share one int32 plane, so a whole 64-frame batch
+    propagates in two plane passes per iteration instead of 64. This
+    replaces an entire min-label labeling phase (plus its sort) on the
+    Pallas detect path.
+
+    :param mask: (T, H, W) bool
+    :param marker: (T, H, W) bool
+    :return: (T, H, W) bool kept pixels
+    """
+    t, h, w = mask.shape
+    hp, wp = _pad_dims(h, w)
+    g = -(-t // 32)
+    tp = g * 32
+
+    def pack(arr):
+        # unrolled OR chain: XLA fuses it into ONE pass over the bool
+        # planes (a broadcast-multiply + sum(axis) materialises a 32x
+        # uint32 intermediate instead — measured ~20x slower)
+        arr_p = jnp.zeros((tp, hp, wp), bool).at[:t, :h, :w].set(arr)
+        planes = arr_p.reshape(g, 32, hp, wp)
+        word = planes[:, 0].astype(jnp.uint32)
+        for b in range(1, 32):
+            word = word | (planes[:, b].astype(jnp.uint32) << b)
+        return word.astype(jnp.int32)
+
+    packed = pl.pallas_call(
+        _reconstruct_kernel(hp, wp, max_iters),
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, hp, wp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pack(mask), pack(marker))
+
+    word = packed.astype(jnp.uint32)
+    frames = [((word >> b) & 1).astype(bool) for b in range(32)]
+    unpacked = jnp.stack(frames, axis=1)
+    return unpacked.reshape(tp, hp, wp)[:t, :h, :w]
 
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_iters',

@@ -90,10 +90,16 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
                 a, connectivity=conn, max_iters=cc_iters))(m)
     if markers is not None:
         markers = markers & frame_valid[:, None, None]
-        lab4 = cc_batch(mask, 4)
-        mask = jax.vmap(lambda m, k, l: lb.propagate_markers(
-            m, k, connectivity=4, max_iters=cc_iters, labels=l))(
-                mask, markers, lab4)
+        if use_pallas_cc:
+            # bit-packed binary propagation: 32 frames per int32 plane —
+            # far cheaper than a full min-label pass (pallas_cc)
+            from ysmr_tpu.ops.pallas_cc import binary_reconstruct
+            mask = binary_reconstruct(mask, markers, max_iters=cc_iters)
+        else:
+            lab4 = cc_batch(mask, 4)
+            mask = jax.vmap(lambda m, k, l: lb.propagate_markers(
+                m, k, connectivity=4, max_iters=cc_iters, labels=l))(
+                    mask, markers, lab4)
 
     labels8 = cc_batch(mask, 8)
 

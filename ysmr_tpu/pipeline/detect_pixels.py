@@ -146,31 +146,28 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                 lab8, keep, lin_kept)
         comp = jnp.where(keep, comp, f)
     elif use_pallas or _FORCE_SORT_COMPACT:
-        # sorted-run compaction (TPU): one (label, lin) sort per labeling
-        # phase replaces the full-image compact scatters/gathers and the
-        # marker segment_max with cheap vector scans — pixels sorted by
-        # label form contiguous per-component runs in root-raster order,
-        # which is exactly the compaction order of compact_ids
+        # sorted-run compaction (TPU): one (label, lin) sort replaces the
+        # full-image compact scatters/gathers with cheap vector scans —
+        # pixels sorted by label form contiguous per-component runs in
+        # root-raster order, which is exactly the compaction order of
+        # compact_ids
         gray0 = px_gray.astype(jnp.int32) if px_gray is not None \
             else jnp.zeros_like(px_x)
         iota_f = jnp.arange(f, dtype=jnp.int32)[None, :]
         if double_threshold:
-            lab4 = cc(rasterize_all(lin), 4)
-            lab4_fg = jnp.where(valid_b, gather_all(lab4, lin), n)
-            slab, slin, smk, sgray = jax.lax.sort(
-                (lab4_fg, lin, (px_marker & valid_b).astype(jnp.int32), gray0),
-                dimension=1, num_keys=2)
-            s_fg = slab < n
-            # "any marker in my run": labels ascend, so a forward running
-            # max of marked labels hits mine iff a marker sits at or before
-            # me in the run; the reverse running max of negated labels
-            # covers markers after me
-            fwd = jax.lax.cummax(jnp.where(smk > 0, slab, -1), axis=1)
-            bwd = jax.lax.cummax(jnp.where(smk > 0, -slab, -(n + 1)), axis=1,
-                                 reverse=True)
-            keep_s = s_fg & ((fwd == slab) | (bwd == -slab))
-            lin_kept = jnp.where(keep_s, slin, n)
-            gray0 = sgray
+            # marker reconstruction as BIT-PACKED binary propagation
+            # (32 frames per int32 plane, ops/pallas_cc.binary_reconstruct)
+            # — replaces an entire min-label labeling phase plus a
+            # 4-operand sort
+            from ysmr_tpu.ops.pallas_cc import binary_reconstruct
+            marker_lin = jnp.where(px_marker & valid_b, lin, n)
+            keep_img = binary_reconstruct(rasterize_all(lin),
+                                          rasterize_all(marker_lin),
+                                          max_iters=cc_iters,
+                                          interpret=not use_pallas)
+            keep_px = valid_b & (gather_all(keep_img.astype(jnp.int32),
+                                            lin) > 0)
+            lin_kept = jnp.where(keep_px, lin, n)
         else:
             lin_kept = lin
         lab8 = cc(rasterize_all(lin_kept), 8)

