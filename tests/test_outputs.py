@@ -83,6 +83,22 @@ def test_annotate_video_writes_file(tmp_path, rng, tmp_ini):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
     cap.release()
 
+    # phenotype subtype filter (reference track_eval.py:1357-1363): by
+    # index or name, with the subtype-tagged output file name; a filter
+    # matching nothing warns and writes no file
+    annotate_video(video, df, output_save=True, settings=settings,
+                   result_folder=str(tmp_path), select_subtype=2)
+    sub = str(tmp_path / 'motile_subtype_clip_annotated_output.avi')
+    assert os.path.isfile(sub) and os.path.getsize(sub) > 0
+    cap = cv2.VideoCapture(sub)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    cap.release()
+    assert annotate_video(video, df, output_save=True, settings=settings,
+                          result_folder=str(tmp_path),
+                          select_subtype='twitching') is None
+    assert not os.path.isfile(
+        str(tmp_path / 'twitching_subtype_clip_annotated_output.avi'))
+
 
 def test_pixels_luminosity_matches_frames(rng):
     """Luminosity mode: component gray means must match across transfer modes."""

@@ -73,3 +73,35 @@ def test_multi_video_detect_track_matches_serial(rng):
             tables['det_info'], tables['det_valid'], **tkw)
         assert np.array_equal(em_mask[i], np.asarray(em_i['mask']))
         np.testing.assert_allclose(em_pos[i], np.asarray(em_i['pos']), atol=1e-5)
+
+    # multi-host/DCN shape: the same videos over a 2-axis (hosts, chips)
+    # mesh — the video batch shards over the flattened product, per-video
+    # results identical to the 1-axis mesh
+    mesh2 = shd.make_mesh(4, hosts=2)
+    assert mesh2.axis_names == ('hosts', 'videos')
+    state2 = jax.tree_util.tree_map(lambda x: jnp.stack([x] * v), state0)
+    _, em2 = shd.multi_video_detect_track(
+        mesh2, shd.shard_videos(mesh2, frames), frame_valid,
+        detect_kwargs=dkw, tracker_state=state2, tracker_kwargs=tkw)
+    assert np.array_equal(np.asarray(em2['mask']), em_mask)
+    np.testing.assert_allclose(np.asarray(em2['pos']), em_pos, atol=1e-6)
+
+
+@needs_devices
+def test_sharded_greedy_on_two_axis_mesh(rng):
+    """Dense-scene row sharding over the (hosts, chips) mesh: identical to
+    the single-device matcher (collectives reduce over both axes)."""
+    from ysmr_tpu.ops import assignment as asg
+    from ysmr_tpu.parallel import sharding as shd
+    mesh = shd.make_mesh(4, hosts=2)
+    r, c = 64, 48
+    obj_xy = rng.uniform(0, 500, (r, 2)).astype(np.float32)
+    det_xy = rng.uniform(0, 500, (c, 2)).astype(np.float32)
+    obj_valid = rng.random(r) < 0.9
+    det_valid = rng.random(c) < 0.9
+    d = asg.pairwise_distances(obj_xy, obj_valid, det_xy, det_valid)
+    want = asg.greedy_assign(d, obj_valid, det_valid)
+    got = shd.sharded_greedy_assign(mesh, shd.shard_videos(mesh, obj_xy),
+                                    obj_valid, det_xy, det_valid)
+    assert np.asarray(got['row_to_col']).tolist() == \
+        np.asarray(want['row_to_col']).tolist()

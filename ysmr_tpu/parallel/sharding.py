@@ -33,13 +33,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ysmr_tpu.ops import assignment as asg
 
 
-def make_mesh(n_devices=None, axis='videos', platform=None):
-    """A 1-D device mesh over the first ``n_devices`` devices.
+def make_mesh(n_devices=None, axis='videos', platform=None, hosts=None):
+    """A device mesh over the first ``n_devices`` devices.
+
+    With ``hosts=None`` this is the 1-axis single-slice mesh (all
+    parallelism rides ICI). With ``hosts=H`` the same devices are laid out
+    as a 2-axis ``(hosts, chips)`` mesh — the multi-host/DCN shape: the
+    leading axis maps to host groups (devices of one process stay
+    contiguous in ``jax.devices()`` order, so each row is one host's
+    chips and the slow DCN links only ever carry the hosts axis). The
+    video batch shards over the FLATTENED product of all axes
+    (:func:`video_pspec`), so per-video work needs no cross-host
+    collectives at all; only the dense-scene assignment reduces over the
+    mesh, and its O(R) row summaries are the only DCN traffic.
+
+    Multi-process runs initialise ``jax.distributed`` first and build this
+    mesh from the global device list (single-controller JAX); on one
+    process the hosts axis simply partitions the local devices and is
+    exercised by the virtual-device tests.
 
     :param platform: optional backend to draw devices from (e.g. 'cpu' for
         the virtual-device dry run on a TPU-pinned interpreter — switching
         ``jax_platforms`` after backend init has no effect, but asking for
         the CPU backend's devices explicitly always works)
+    :param hosts: optional host-group count; must divide the device count
     """
     devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
@@ -49,13 +66,24 @@ def make_mesh(n_devices=None, axis='videos', platform=None):
                              (n_devices, platform or 'default', len(devices)))
         devices = devices[:n_devices]
     import numpy as np
-    return Mesh(np.array(devices), (axis,))
+    if hosts is None:
+        return Mesh(np.array(devices), (axis,))
+    if len(devices) % hosts:
+        raise ValueError('%d devices do not split over %d host groups' %
+                         (len(devices), hosts))
+    arr = np.array(devices).reshape(hosts, -1)
+    return Mesh(arr, ('hosts', axis))
+
+
+def video_pspec(mesh, ndim=1):
+    """PartitionSpec sharding the leading (video) dim over EVERY mesh axis."""
+    return P(tuple(mesh.axis_names), *([None] * (ndim - 1)))
 
 
 def shard_videos(mesh, frames):
-    """Place a (V, ...) video-major array sharded over the videos axis."""
-    spec = P('videos', *([None] * (frames.ndim - 1)))
-    return jax.device_put(frames, NamedSharding(mesh, spec))
+    """Place a (V, ...) video-major array sharded over the video axes."""
+    return jax.device_put(frames,
+                          NamedSharding(mesh, video_pspec(mesh, frames.ndim)))
 
 
 def make_multi_video_step(mesh, *, detect_kwargs, tracker_kwargs,
@@ -103,7 +131,7 @@ def make_multi_video_step(mesh, *, detect_kwargs, tracker_kwargs,
         # each device owns V/n videos; vmap over its local shard
         return jax.vmap(per_video)(video_frames, video_valid, state)
 
-    vspec = P('videos')
+    vspec = video_pspec(mesh)
     fn = shard_map(sharded, mesh=mesh,
                    in_specs=(vspec, vspec, vspec),
                    out_specs=(vspec, vspec), check_vma=False)
@@ -146,9 +174,10 @@ def sharded_greedy_assign(mesh, obj_xy, obj_valid, det_xy, det_valid):
         cand_col = jnp.argmin(d, axis=1).astype(jnp.int32)
         return row_min, cand_col
 
+    vspec = video_pspec(mesh)
     fn = shard_map(local2, mesh=mesh,
-                   in_specs=(P('videos'), P('videos'), P(), P()),
-                   out_specs=(P('videos'), P('videos')), check_vma=False)
+                   in_specs=(vspec, vspec, P(), P()),
+                   out_specs=(vspec, vspec), check_vma=False)
     row_min, cand_col = fn(obj_xy, obj_valid, det_xy, det_valid)
     # winner resolution on the gathered O(R) vectors (replicated, cheap);
     # shared with the single-device matcher so the two paths cannot diverge
