@@ -89,6 +89,15 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             True, mode='drop', unique_indices=True)
         return flat.reshape(t, n + 1)[:, :n].reshape(t, h, w)
 
+    def rasterize_values(lin_b, val):
+        """(T, F) linear indices + int8 values -> (T, H, W) image, one flat
+        scatter. The TPU scatter is update-bound, so folding the mask and
+        marker rasterizations into one valued scatter halves their cost."""
+        idx = jnp.where(lin_b < n, lin_b + t_off, oob)
+        flat = jnp.zeros((t * (n + 1),), jnp.int8).at[idx.reshape(-1)].set(
+            val.reshape(-1), mode='drop', unique_indices=True)
+        return flat.reshape(t, n + 1)[:, :n].reshape(t, h, w)
+
     def gather_all(img_b, lin_b):
         """(T, H, W) images gathered at (T, F) linear indices, one flat op."""
         flat = img_b.reshape(-1)
@@ -158,20 +167,24 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             # marker reconstruction as BIT-PACKED binary propagation
             # (32 frames per int32 plane, ops/pallas_cc.binary_reconstruct)
             # — replaces an entire min-label labeling phase plus a
-            # 4-operand sort
+            # 4-operand sort. One valued scatter rasterizes mask AND marker
+            # (marker pixels are a subset of the mask by construction), and
+            # the reconstruct output IS the kept-pixel image — every kept
+            # pixel is a listed mask pixel — so it feeds the 8-connectivity
+            # labeling directly with no re-rasterization. Dropped pixels
+            # read the background label (h*w) from the label image, so the
+            # keep flags come for free from the label gather.
             from ysmr_tpu.ops.pallas_cc import binary_reconstruct
-            marker_lin = jnp.where(px_marker & valid_b, lin, n)
-            keep_img = binary_reconstruct(rasterize_all(lin),
-                                          rasterize_all(marker_lin),
+            val = jnp.where(px_marker & valid_b, jnp.int8(2), jnp.int8(1))
+            img = rasterize_values(lin, val)
+            keep_img = binary_reconstruct(img > 0, img > 1,
                                           max_iters=cc_iters,
                                           interpret=not use_pallas)
-            keep_px = valid_b & (gather_all(keep_img.astype(jnp.int32),
-                                            lin) > 0)
-            lin_kept = jnp.where(keep_px, lin, n)
+            lab8 = cc(keep_img, 8)
         else:
-            lin_kept = lin
-        lab8 = cc(rasterize_all(lin_kept), 8)
-        lab8_fg = jnp.where(lin_kept < n, gather_all(lab8, lin_kept), n)
+            lab8 = cc(rasterize_all(lin), 8)
+        lab8_fg = jnp.where(valid_b, gather_all(lab8, lin), n)
+        lin_kept = jnp.where(lab8_fg < n, lin, n)
         slab8, slin8, sgray8 = jax.lax.sort((lab8_fg, lin_kept, gray0),
                                             dimension=1, num_keys=2)
         keep = slab8 < n
