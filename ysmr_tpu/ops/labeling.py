@@ -266,8 +266,9 @@ def propagate_markers(mask, markers, connectivity=4, max_iters=64,
     return kept.reshape(h, w) & mask
 
 
-@partial(jax.jit, static_argnames=('max_det', 'max_bh'))
-def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024, max_bh=96):
+@partial(jax.jit, static_argnames=('max_det', 'max_bh', 'use_pallas_hull'))
+def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
+                    max_bh=96, use_pallas_hull=False):
     """Per-component statistics and convex-hull candidates from point lists.
 
     Shared by the image path (flattened pixel grid) and the compact
@@ -320,7 +321,8 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024, max_bh=96
     # minimal rectangle can occur, and on equal-area ties they are the
     # representatives cv2's rotating calipers picks.
     edge_angles, edge_valid = _hull_edge_angles(row_min_x, row_max_x,
-                                                row_valid, abs_y)
+                                                row_valid, abs_y,
+                                                use_pallas=use_pallas_hull)
 
     out = {
         'count': count[:max_det],
@@ -335,8 +337,9 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024, max_bh=96
     return out
 
 
-@partial(jax.jit, static_argnames=('max_det', 'max_bh'))
-def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
+@partial(jax.jit, static_argnames=('max_det', 'max_bh', 'use_pallas_hull'))
+def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96,
+                     use_pallas_hull=False):
     """Per-component statistics and convex-hull candidate points (image path).
 
     :param comp_id: (H, W) int32 dense ids (overflow/background = max_det)
@@ -356,7 +359,8 @@ def component_tables(comp_id, mask, gray=None, max_det=1024, max_bh=96):
     return component_stats(xs.reshape(-1), ys.reshape(-1), comp_id.reshape(-1),
                            mask.reshape(-1),
                            gray_vals=None if gray is None else gray.reshape(-1),
-                           max_det=max_det, max_bh=max_bh)
+                           max_det=max_det, max_bh=max_bh,
+                           use_pallas_hull=use_pallas_hull)
 
 
 def _chain_hull(xs, ys, valid, lower):
@@ -466,7 +470,19 @@ def _hull_edge_angles_chain(row_min_x, row_max_x, row_valid, abs_y):
             jnp.concatenate([lv, rv], axis=1))
 
 
-def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y):
+def _edge_angle_finish(dx_e, dy_e, has_edge, r):
+    """Shared angle finishing for both hull implementations: arctan2 of the
+    integer edge vector, folded to [0, pi/2); slot 0 doubles as the
+    always-present horizontal (closing-edge) candidate."""
+    iota = jnp.arange(r - 1, dtype=jnp.int32)
+    ang = jnp.mod(jnp.arctan2(dy_e, dx_e), jnp.float32(np.pi / 2))
+    ang = jnp.where(has_edge, ang, 0.0)[:, :r - 1]
+    valid = has_edge[:, :r - 1] | (iota[None, :] == 0)
+    return ang, valid
+
+
+def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y,
+                      use_pallas=False):
     """Exact hull-edge candidate angles, fully vectorised.
 
     The per-row extreme points of a component are sorted by strictly
@@ -478,6 +494,12 @@ def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y):
     matrix per chain — built and reduced in a single fused pass — replaces
     the row-serial monotone-chain loops.
 
+    With ``use_pallas`` the slope reductions run as the VMEM-resident row
+    loop of ops/pallas_hull.py (the XLA slope matrix is HBM-bound at
+    production capacities: ~150 ms per 64-frame batch vs ~3 ms); results
+    are bit-identical — both compute the same correctly-rounded f32
+    quotients and min/max reductions, and this angle finishing is shared.
+
     Slope comparisons are exact here: coordinates are integers with
     |dx| <= w and 0 < dy < R, so distinct slopes differ by at least
     1/R^2 while two f32 quotient roundings err by at most ~2*w*2^-23 —
@@ -488,6 +510,14 @@ def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y):
         included via the first slot of each chain's edge list when present.
     """
     d, r = row_min_x.shape
+    if use_pallas:
+        from ysmr_tpu.ops.pallas_hull import hull_edge_vectors
+        dxl, dyl, el, dxr, dyr, er = hull_edge_vectors(
+            row_min_x, row_max_x, row_valid, abs_y)
+        la, lv = _edge_angle_finish(dxl, dyl, el, r)
+        ra, rv = _edge_angle_finish(dxr, dyr, er, r)
+        return (jnp.concatenate([la, ra], axis=1),
+                jnp.concatenate([lv, rv], axis=1))
     ys = abs_y.astype(jnp.float32)
     big = jnp.float32(3.0e38)
     iota = jnp.arange(r, dtype=jnp.int32)

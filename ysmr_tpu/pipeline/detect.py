@@ -106,7 +106,8 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
     def per_frame(m, g, labels):
         comp, n = lb.compact_labels(labels, m, max_det=max_det)
         tables = lb.component_tables(comp, m, gray=None,
-                                     max_det=max_det, max_bh=max_bh)
+                                     max_det=max_det, max_bh=max_bh,
+                                     use_pallas_hull=use_pallas_sweep)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],

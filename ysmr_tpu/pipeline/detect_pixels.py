@@ -228,7 +228,7 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             px_x_f, px_y_f, seg_f, keep_f,
             gray_vals=gray_f if (include_luminosity and not exact_lum)
             else None,
-            max_det=max_det, max_bh=max_bh)
+            max_det=max_det, max_bh=max_bh, use_pallas_hull=use_pallas)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
