@@ -262,6 +262,49 @@ def measure_device_only(clip, n_batches=4, reps=5):
     return round(best, 2)
 
 
+def measure_host_floor(clip):
+    """Single-core host floor of the exact decode path — the proof that
+    decode (not the chip) bounds e2e throughput on this host.
+
+    Measures (a) a bare ``cap.read()`` loop (FFmpeg MJPG decode + BGR
+    conversion, the reference's own decode path — bit-parity requires it,
+    see io/video.py MjpgAviDemuxer notes) and (b) the same loop plus the
+    AVX-512 host preprocessing that produces the pixel wire. The host must
+    execute both serially on its one core, so 1000/(decode+preproc) ms is
+    the hard e2e ceiling; the recorded e2e efficiency is value/floor.
+    """
+    import cv2
+    from ysmr_tpu.io.preproc import HostPreprocessor
+
+    settings = bench_settings()
+    times = {}
+    for with_pre in (False, True):
+        pre = HostPreprocessor(
+            settings, FPS,
+            max_fg=settings['max foreground pixels per frame']) \
+            if with_pre else None
+        cap = cv2.VideoCapture(clip)
+        n = 0
+        t0 = time.perf_counter()
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if pre is not None:
+                pre(frame)
+            n += 1
+        dt = time.perf_counter() - t0
+        cap.release()
+        times['decode_preproc' if with_pre else 'decode'] = dt / max(n, 1)
+    floor = 1.0 / times['decode_preproc']
+    return {
+        'host_decode_ms_per_frame': round(times['decode'] * 1e3, 2),
+        'host_decode_preproc_ms_per_frame':
+            round(times['decode_preproc'] * 1e3, 2),
+        'host_floor_fps': round(floor, 1),
+    }
+
+
 def measure_dense(n_obj=16000):
     """Dense-scene stretch (BASELINE config 5, single-chip slice): 10k+
     simultaneous objects per 1228x922 frame, 16k det/track capacities.
@@ -478,6 +521,15 @@ def main():
         print('fast-decode measurement failed: {}'.format(exc), file=sys.stderr)
         fast = None
 
+    # host floor: measured proof that the remaining e2e gap is the host's
+    # serial decode+preproc on ONE core, not the chip (device_only_fps)
+    try:
+        host_floor = measure_host_floor(clip)
+    except Exception as exc:
+        print('host-floor measurement failed: {}'.format(exc),
+              file=sys.stderr)
+        host_floor = None
+
     # dense-scene stretch (BASELINE config 5) as secondary fields so the
     # recorded bench carries the scale story too
     try:
@@ -497,6 +549,10 @@ def main():
         'value_max': ours['max'],
         'reps': ours['reps'],
         'device_only_fps': device_fps,
+        'host_floor': host_floor,
+        'e2e_host_efficiency':
+            round(value / host_floor['host_floor_fps'], 3)
+            if host_floor else None,
         'fast_decode_value': fast['median'] if fast else None,
         'fast_decode_vs_baseline':
             round(fast['median'] / ref_fps, 2) if (fast and ref_fps) else None,
