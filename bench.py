@@ -167,6 +167,18 @@ def check_row_parity(our_df, ref_list_csv):
     mismatch = (ids_o != ids_r) | (t_o != t_r)
     detail['id_mismatch_rows'] = int(mismatch.sum())
     detail['id_agreement'] = round(1.0 - mismatch.mean(), 4)
+    # rect-decomposition parity on id-agreeing rows: with the exact
+    # integer-arithmetic minAreaRect (cv2 convention + exact tie-breaks)
+    # WIDTH/HEIGHT/DEGREES_ANGLE match the reference row-for-row
+    ok_rows = ~mismatch
+    if ok_rows.any():
+        same_rect = np.ones(ok_rows.sum(), bool)
+        for col, atol in (('WIDTH', 1e-4), ('HEIGHT', 1e-4),
+                          ('DEGREES_ANGLE', 1e-3)):
+            diff = np.abs(our_df[col].to_numpy(dtype=float)[ok_rows] -
+                          ref[col].to_numpy(dtype=float)[ok_rows])
+            same_rect &= diff <= atol
+        detail['rect_columns_agreement'] = round(float(same_rect.mean()), 4)
     if mismatch.any():
         first = int(np.nonzero(mismatch)[0][0])
         detail['first_mismatch_row'] = first

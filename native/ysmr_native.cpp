@@ -182,13 +182,21 @@ void min_area_rect_batch(const float* pts_xy, const uint8_t* valid,
                 bang = std::atan2(uy, ux);
             }
         }
-        double ang = std::fmod(bang * 180.0 / M_PI, 90.0);
-        if (ang < 0) ang += 90.0;
+        // cv2's classic representation: angle in [-90, 0), w = the extent
+        // along the angle's direction (matches ops/labeling.min_area_rect).
+        // Each 90-degree reduction step swaps which extent lies along the
+        // reported angle, so track the step parity.
+        double deg = bang * 180.0 / M_PI;
+        double steps = std::floor(deg / 90.0);
+        double rem = deg - 90.0 * steps;          // in [0, 90)
+        bool swapped = std::fmod(std::fabs(steps), 2.0) >= 1.0;
+        double w_at_rem = swapped ? bh : bw;      // extent along rem
+        double h_at_rem = swapped ? bw : bh;
         o[0] = static_cast<float>(bcx);
         o[1] = static_cast<float>(bcy);
-        o[2] = static_cast<float>(bw);
-        o[3] = static_cast<float>(bh);
-        o[4] = static_cast<float>(ang);
+        o[2] = static_cast<float>(h_at_rem);      // cv2: w along (rem - 90)
+        o[3] = static_cast<float>(w_at_rem);
+        o[4] = static_cast<float>(rem - 90.0);
     }
 }
 

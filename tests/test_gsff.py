@@ -141,3 +141,49 @@ def test_independent_slots(rng):
     c2, p2 = _run_ours(params, meas, slots=3, slot=0)
     assert np.allclose(c1, c2, atol=1e-5)
     assert np.allclose(p1, p2, atol=1e-5)
+
+
+def test_coasting_self_feedback_parity(rng):
+    """Disappeared-but-alive tracks feed their own prediction back as the
+    measurement (tracker.py:219-227). This closed loop amplifies rounding
+    exponentially, which is why the filter runs in double-single arithmetic:
+    in plain float32 the coast drifts ~0.02 px/frame off the reference's
+    float64 trajectory (enough to flip near-tie greedy assignments); in DS
+    it must stay within ~0.02 px over a full 30-frame grace period."""
+    fps = 30.0
+    ref = _reference_gsff(fps=fps)
+    params = g.GSFFParams(fps=fps)
+    t = np.arange(70)[:, None] / fps
+    truth = np.array([100.0, 200.0]) + t * np.array([45.0, -30.0])
+    meas = (truth + rng.normal(0, 0.8, truth.shape)).astype(np.float32)
+
+    settings = {}
+    refp = []
+    for i in range(70):
+        m64 = np.asarray(meas[i] if i < 40 else refp[-1], float)
+        _, settings = ref.correct(measurement=m64, **settings)
+        p, settings = ref.predict(**settings)
+        refp.append(np.array(p))
+    refp = np.array(refp)
+
+    slots, slot = 4, 1
+    state = g.init_state(params, slots)
+    reg = np.zeros(slots, bool)
+    reg[slot] = True
+    state = g.register_slots(state, params, reg, np.tile(meas[0], (slots, 1)))
+    ourp = []
+    pred_hi = None
+    for i in range(70):
+        mm = np.zeros((slots, 2), np.float32)
+        mlo = np.zeros((slots, 2), np.float32)
+        if i < 40:
+            mm[slot] = meas[i]
+        else:  # coast: hi half from the stored position, lo from pred_lo
+            mm[slot] = pred_hi
+            mlo[slot] = np.asarray(state['pred_lo'])[slot]
+        state, _, p = g.step(params, state, mm, reg, measurements_lo=mlo)
+        pred_hi = np.asarray(p)[slot]
+        ourp.append(pred_hi)
+    err = np.abs(np.array(ourp) - refp)
+    assert err[:40].max() < 5e-3, err[:40].max()      # measurement-driven
+    assert err.max() < 0.02, err.max()                # incl. 30-frame coast

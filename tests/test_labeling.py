@@ -88,7 +88,9 @@ def _detect_components(mask, max_det=64, max_bh=32):
     tables = lb.component_tables(comp, mask, max_det=max_det, max_bh=max_bh)
     rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                             edge_angles=tables['edge_angles'],
-                            edge_valid=tables['edge_valid'])
+                            edge_valid=tables['edge_valid'],
+                            edge_dx=tables['edge_dx'],
+                            edge_dy=tables['edge_dy'])
     return {k: np.asarray(v) for k, v in tables.items() if k != 'points'}, \
         {k: np.asarray(v) for k, v in rect.items()}, int(n)
 
@@ -115,7 +117,7 @@ def test_min_area_rect_matches_cv2(rng):
                     best_j, best_d = j, d
             assert best_d < 0.75, (i, best_d)
             used.add(best_j)
-            (_, _), (rw, rh), _ = refs[best_j]
+            (_, _), (rw, rh), rang = refs[best_j]
             ours_sides = sorted([rect['w'][i], rect['h'][i]])
             ref_sides = sorted([rw, rh])
             # area parity is what drives the selection gates; it must hold
@@ -124,9 +126,21 @@ def test_min_area_rect_matches_cv2(rng):
             a_ref = max(ref_sides[0] * ref_sides[1], 1e-6)
             assert a_ours == pytest.approx(a_ref, rel=0.005, abs=0.05)
             tie = abs(ours_sides[0] - ref_sides[0]) > 0.12
-            if not tie:  # same representative chosen -> sides must agree
-                assert ours_sides[0] == pytest.approx(ref_sides[0], abs=0.12)
-                assert ours_sides[1] == pytest.approx(ref_sides[1], abs=0.12)
+            if not tie:  # same representative chosen -> full convention
+                # parity with cv2's classic representation: angle in
+                # [-90, 0), w along the angle's direction — the _list.csv
+                # WIDTH/HEIGHT/DEGREES_ANGLE interchange columns
+                assert -90.0 <= rect['angle_deg'][i] < 0.0
+                if abs(rw - rh) > 0.12:  # w/h distinguishable, not square
+                    assert rect['w'][i] == pytest.approx(rw, abs=0.12)
+                    assert rect['h'][i] == pytest.approx(rh, abs=0.12)
+                    assert rect['angle_deg'][i] == pytest.approx(
+                        rang, abs=1.0), (i, rect['w'][i], rect['h'][i], rw, rh)
+                else:
+                    assert ours_sides[0] == pytest.approx(ref_sides[0],
+                                                          abs=0.12)
+                    assert ours_sides[1] == pytest.approx(ref_sides[1],
+                                                          abs=0.12)
 
 
 def test_min_area_rect_degenerate_cases():
@@ -159,3 +173,49 @@ def test_findcontours_enumeration_order():
         ours_centers = np.stack([rect['cx'][:n], rect['cy'][:n]], axis=1)
         diff = np.linalg.norm(ref_centers - ours_centers, axis=1)
         assert (diff < 0.75).all(), (seed, diff)
+
+
+def test_min_area_rect_exact_tie_matches_cv2():
+    """A blob whose axis-aligned and 45-degree rectangles tie at exactly
+    area 36: the exact integer-arithmetic candidate comparison must detect
+    the true rational tie and resolve it to the larger angle, as cv2's
+    calipers does (it visits edges in increasing rotation and replaces on
+    <=). Regression: the float32 sweep's area noise (~3e-3 here) used to
+    break the tie the wrong way, which changed the emitted CENTRE and fed a
+    different measurement into the tracker (bench-clip frame 7)."""
+    pix = [(792, 227), (792, 228), (792, 229), (792, 230), (793, 226),
+           (793, 227), (793, 228), (793, 229), (793, 230), (794, 225),
+           (794, 226), (794, 227), (794, 228), (794, 229), (794, 230),
+           (795, 224), (795, 225), (795, 226), (795, 227), (795, 228),
+           (795, 229), (795, 230), (796, 224), (796, 225), (796, 226),
+           (796, 227), (796, 228), (796, 229), (797, 224), (797, 225),
+           (797, 226), (797, 227), (797, 228), (798, 224), (798, 225),
+           (798, 226), (798, 227)]
+    mask = np.zeros((232, 800), bool)
+    for x, y in pix:
+        mask[y, x] = True
+    _, rect, n = _detect_components(mask)
+    assert n == 1
+    ref = cv2.minAreaRect(np.array(pix, np.int32).reshape(-1, 1, 2))
+    assert ref[2] == -45.0  # cv2 resolves the tie to the diagonal
+    assert rect['angle_deg'][0] == pytest.approx(-45.0, abs=1e-4)
+    assert rect['w'][0] == pytest.approx(ref[1][0], abs=1e-4)
+    assert rect['h'][0] == pytest.approx(ref[1][1], abs=1e-4)
+    assert rect['cx'][0] == pytest.approx(795.0, abs=1e-4)
+    assert rect['cy'][0] == pytest.approx(227.0, abs=1e-4)
+
+
+def test_min_area_rect_diagonal_line_convention():
+    """Degenerate diagonal line: cv2 reports ((6, 6), (0, 2.828), -45) —
+    zero w along the -45 direction. The exact path must reproduce the full
+    convention, not just the sorted sides."""
+    mask = np.zeros((16, 16), bool)
+    for i in (5, 6, 7):
+        mask[i, i] = True
+    _, rect, n = _detect_components(mask)
+    assert n == 1
+    assert rect['w'][0] == pytest.approx(0.0, abs=1e-5)
+    assert rect['h'][0] == pytest.approx(2.8284271, abs=1e-4)
+    assert rect['angle_deg'][0] == pytest.approx(-45.0, abs=1e-4)
+    assert rect['cx'][0] == pytest.approx(6.0, abs=1e-5)
+    assert rect['cy'][0] == pytest.approx(6.0, abs=1e-5)

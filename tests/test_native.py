@@ -53,7 +53,13 @@ def test_min_area_rect_batch_vs_cv2():
     out = native.min_area_rect_batch(pts, valid)
     for i in range(d):
         ref = cv2.minAreaRect(pts[i][valid[i]].astype(np.int32))
-        (rx, ry), (rw, rh), _ = ref
+        (rx, ry), (rw, rh), rang = ref
         assert np.hypot(out[i, 0] - rx, out[i, 1] - ry) < 1e-3
         assert sorted([out[i, 2], out[i, 3]]) == pytest.approx(
             sorted([rw, rh]), abs=1e-3)
+        # cv2's classic convention: angle in [-90, 0), w along it
+        assert -90.0 <= out[i, 4] < 0.0
+        if abs(rw - rh) > 1e-2:  # non-tie: full decomposition must agree
+            assert out[i, 2] == pytest.approx(rw, abs=1e-3)
+            assert out[i, 3] == pytest.approx(rh, abs=1e-3)
+            assert out[i, 4] == pytest.approx(rang, abs=0.1)

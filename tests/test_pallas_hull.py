@@ -11,7 +11,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from ysmr_tpu.ops.labeling import (_hull_edge_angles, _edge_angle_finish,
+from ysmr_tpu.ops.labeling import (_hull_edge_angles,
+                                   _edge_vector_finish,
                                    _hull_edge_angles_chain)
 from ysmr_tpu.ops.pallas_hull import hull_edge_vectors
 
@@ -40,8 +41,8 @@ def _pallas_angles(row_min, row_max, valid, abs_y):
     dxl, dyl, el, dxr, dyr, er = hull_edge_vectors(
         jnp.asarray(row_min), jnp.asarray(row_max), jnp.asarray(valid),
         jnp.asarray(abs_y), interpret=True)
-    la, lv = _edge_angle_finish(dxl, dyl, el, r)
-    ra, rv = _edge_angle_finish(dxr, dyr, er, r)
+    _, _, la, lv = _edge_vector_finish(dxl, dyl, el, r)
+    _, _, ra, rv = _edge_vector_finish(dxr, dyr, er, r)
     return (np.asarray(jnp.concatenate([la, ra], axis=1)),
             np.asarray(jnp.concatenate([lv, rv], axis=1)))
 

@@ -315,20 +315,20 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
     pts = jnp.stack([pts_x, pts_y], axis=-1)  # (max_det, 2*max_bh, 2)
     pts_valid = jnp.concatenate([row_valid, row_valid], axis=1)
 
-    # exact hull-edge candidate angles: monotone-chain convex envelopes of the
+    # exact hull-edge candidates: monotone-chain convex envelopes of the
     # per-row x-extremes give the true hull edges (the row extremes contain
     # every hull vertex); their directions are the only angles at which the
-    # minimal rectangle can occur, and on equal-area ties they are the
-    # representatives cv2's rotating calipers picks.
-    edge_angles, edge_valid = _hull_edge_angles(row_min_x, row_max_x,
-                                                row_valid, abs_y,
-                                                use_pallas=use_pallas_hull)
+    # minimal rectangle can occur (rotating-calipers theorem), and the
+    # integer edge vectors allow exact area comparisons in min_area_rect.
+    edge_dx, edge_dy, edge_angles, edge_valid = _hull_edge_data(
+        row_min_x, row_max_x, row_valid, abs_y, use_pallas=use_pallas_hull)
 
     out = {
         'count': count[:max_det],
         'min_x': min_x[:max_det], 'max_x': max_x[:max_det],
         'min_y': min_y[:max_det], 'max_y': max_y[:max_det],
         'points': pts, 'points_valid': pts_valid,
+        'edge_dx': edge_dx, 'edge_dy': edge_dy,
         'edge_angles': edge_angles, 'edge_valid': edge_valid,
     }
     if gray_vals is not None:
@@ -454,14 +454,13 @@ def _hull_edge_angles_chain(row_min_x, row_max_x, row_valid, abs_y):
 
     def chain_angles(xs, lower):
         hx, hy, size = _chain_hull(xs, ys, row_valid, lower)
-        dx = hx[:, 1:] - hx[:, :-1]
-        dy = hy[:, 1:] - hy[:, :-1]
-        idx = jnp.arange(hx.shape[1] - 1, dtype=jnp.int32)[None, :]
-        valid = idx < (size[:, None] - 1)
-        ang = jnp.mod(jnp.arctan2(dy, dx), jnp.float32(np.pi / 2))
-        # pad slot: reuse the first column as the horizontal closing edge
-        ang = jnp.where(valid, ang, 0.0)
-        valid = valid | (idx == 0)
+        r = hx.shape[1]
+        dx = jnp.concatenate([hx[:, 1:] - hx[:, :-1], hx[:, :1] * 0], axis=1)
+        dy = jnp.concatenate([hy[:, 1:] - hy[:, :-1], hy[:, :1] * 0], axis=1)
+        idx = jnp.arange(r, dtype=jnp.int32)[None, :]
+        has_edge = idx < (size[:, None] - 1)
+        # pad slot: the first column doubles as the horizontal closing edge
+        _, _, ang, valid = _edge_vector_finish(dx, dy, has_edge, r)
         return ang, valid
 
     la, lv = chain_angles(lx, lower=True)
@@ -470,20 +469,40 @@ def _hull_edge_angles_chain(row_min_x, row_max_x, row_valid, abs_y):
             jnp.concatenate([lv, rv], axis=1))
 
 
-def _edge_angle_finish(dx_e, dy_e, has_edge, r):
-    """Shared angle finishing for both hull implementations: arctan2 of the
-    integer edge vector, folded to [0, pi/2); slot 0 doubles as the
+def _fold_edge_vector(dx, dy):
+    """Fold an integer edge vector to the quadrant dx > 0, dy >= 0 (the
+    [0, 90) direction representing its rectangle orientation class).
+
+    Rotations by multiples of 90 degrees keep the components integers, so
+    projections onto the folded vector stay exact. A zero vector folds to
+    the horizontal (1, 0).
+    """
+    neg = (dy < 0) | ((dy == 0) & (dx < 0))
+    dx = jnp.where(neg, -dx, dx)
+    dy = jnp.where(neg, -dy, dy)
+    rot = (dx <= 0) & (dy > 0)           # rotate -90: (dx, dy) <- (dy, -dx)
+    dx, dy = jnp.where(rot, dy, dx), jnp.where(rot, -dx, dy)
+    dx = jnp.where((dx == 0) & (dy == 0), 1.0, dx)
+    return dx, dy
+
+
+def _edge_vector_finish(dx_e, dy_e, has_edge, r):
+    """Shared finishing for both hull implementations: fold the integer edge
+    vector to [0, 90) and derive its angle; slot 0 doubles as the
     always-present horizontal (closing-edge) candidate."""
     iota = jnp.arange(r - 1, dtype=jnp.int32)
-    ang = jnp.mod(jnp.arctan2(dy_e, dx_e), jnp.float32(np.pi / 2))
-    ang = jnp.where(has_edge, ang, 0.0)[:, :r - 1]
-    valid = has_edge[:, :r - 1] | (iota[None, :] == 0)
-    return ang, valid
+    dx, dy = _fold_edge_vector(dx_e[:, :r - 1], dy_e[:, :r - 1])
+    keep = has_edge[:, :r - 1]
+    dx = jnp.where(keep, dx, 1.0)
+    dy = jnp.where(keep, dy, 0.0)
+    ang = jnp.where(keep, jnp.arctan2(dy, dx), 0.0)
+    valid = keep | (iota[None, :] == 0)
+    return dx, dy, ang, valid
 
 
-def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y,
-                      use_pallas=False):
-    """Exact hull-edge candidate angles, fully vectorised.
+def _hull_edge_data(row_min_x, row_max_x, row_valid, abs_y,
+                    use_pallas=False):
+    """Exact hull-edge candidate vectors and angles, fully vectorised.
 
     The per-row extreme points of a component are sorted by strictly
     increasing y (one point per row), so its left/right hull chains admit a
@@ -505,18 +524,22 @@ def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y,
     1/R^2 while two f32 quotient roundings err by at most ~2*w*2^-23 —
     smaller for any frame width below ~16k/R^2 px (1228*64^2 ~ 4k here).
 
-    :return: (angles (D, 2*(R-1)) float32 in [0, pi/2), valid bool); a
-        zero-angle candidate (the horizontal closing edges) is always
-        included via the first slot of each chain's edge list when present.
+    :return: (dx, dy, angles, valid), each (D, 2*(R-1)): folded integer edge
+        vectors (dx > 0, dy >= 0 — exact projections), their float32 angles
+        in [0, pi/2), and validity; a zero-angle candidate (the horizontal
+        closing edges) is always included via the first slot of each chain's
+        edge list when present.
     """
     d, r = row_min_x.shape
     if use_pallas:
         from ysmr_tpu.ops.pallas_hull import hull_edge_vectors
         dxl, dyl, el, dxr, dyr, er = hull_edge_vectors(
             row_min_x, row_max_x, row_valid, abs_y)
-        la, lv = _edge_angle_finish(dxl, dyl, el, r)
-        ra, rv = _edge_angle_finish(dxr, dyr, er, r)
-        return (jnp.concatenate([la, ra], axis=1),
+        lx, ly, la, lv = _edge_vector_finish(dxl, dyl, el, r)
+        rx, ry, ra, rv = _edge_vector_finish(dxr, dyr, er, r)
+        return (jnp.concatenate([lx, rx], axis=1),
+                jnp.concatenate([ly, ry], axis=1),
+                jnp.concatenate([la, ra], axis=1),
                 jnp.concatenate([lv, rv], axis=1))
     ys = abs_y.astype(jnp.float32)
     big = jnp.float32(3.0e38)
@@ -549,17 +572,22 @@ def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y,
         jc = jnp.clip(j_star, 0, r - 1)
         dx_e = jnp.take_along_axis(x, jc, axis=1) - x
         dy_e = jnp.take_along_axis(ys, jc, axis=1) - ys
-        ang = jnp.mod(jnp.arctan2(dy_e, dx_e), jnp.float32(np.pi / 2))
-        # same contract as the chain version: invalid slots read 0 and the
-        # first slot doubles as the always-present horizontal candidate
-        ang = jnp.where(has_edge, ang, 0.0)[:, :r - 1]
-        valid = has_edge[:, :r - 1] | (iota[None, :r - 1] == 0)
-        return ang, valid
+        return _edge_vector_finish(dx_e, dy_e, has_edge, r)
 
-    la, lv = chain_edges(row_min_x, right=False)
-    ra, rv = chain_edges(row_max_x, right=True)
-    return (jnp.concatenate([la, ra], axis=1),
+    lx, ly, la, lv = chain_edges(row_min_x, right=False)
+    rx, ry, ra, rv = chain_edges(row_max_x, right=True)
+    return (jnp.concatenate([lx, rx], axis=1),
+            jnp.concatenate([ly, ry], axis=1),
+            jnp.concatenate([la, ra], axis=1),
             jnp.concatenate([lv, rv], axis=1))
+
+
+def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y,
+                      use_pallas=False):
+    """Back-compat wrapper returning only (angles, valid)."""
+    _, _, ang, valid = _hull_edge_data(row_min_x, row_max_x, row_valid,
+                                       abs_y, use_pallas=use_pallas)
+    return ang, valid
 
 
 #: test hook: force the sweep implementation (None = backend default)
@@ -595,16 +623,125 @@ def _sweep_extents(pts, valid, angles):
     return min_u, max_u, min_v, max_v
 
 
+def _min_area_rect_exact(pts, valid, edge_dx, edge_dy, edge_angles,
+                         edge_valid, use_pallas_sweep):
+    """Exact minimum-area rectangle over integer hull-edge candidates.
+
+    The minimal enclosing rectangle always has a side collinear with a hull
+    edge (rotating calipers), and the hull edges of integer pixel centres
+    have integer direction vectors — so projections U = x*dx + y*dy and
+    V = y*dx - x*dy are *exact* float32 integers (|U| < 2^24 for any frame
+    below ~4k px on a side), the scaled area (dU * dV) is an exact
+    double-single product, and the true area dU*dV/(dx^2+dy^2) is a
+    double-single quotient accurate to ~1e-13 relative. Candidate areas are
+    therefore compared exactly: no coarse/fine sweep, no angular epsilon.
+    Equal-area ties are true rational ties and resolve to the largest-angle
+    candidate (cv2's calipers visits edges in increasing rotation and
+    replaces on <=; verified against cv2 in tests/test_labeling.py).
+    """
+    from ysmr_tpu.ops import ds
+    d = edge_dx.shape[0]
+    rows = jnp.arange(d)
+    big = jnp.float32(3.0e38)
+    # the hull's closing edges (top/bottom row) are horizontal and are NOT
+    # emitted by the left/right chains — append an always-valid (1, 0)
+    # candidate so the axis-aligned rectangle is always considered
+    one = jnp.ones((d, 1), edge_dx.dtype)
+    edge_dx = jnp.concatenate([edge_dx, one], axis=1)
+    edge_dy = jnp.concatenate([edge_dy, one * 0.0], axis=1)
+    edge_angles = jnp.concatenate([edge_angles, one * 0.0], axis=1)
+    edge_valid = jnp.concatenate(
+        [edge_valid, jnp.ones((d, 1), bool)], axis=1)
+    k = edge_dx.shape[1]
+    if use_pallas_sweep:
+        from ysmr_tpu.ops.pallas_sweep import sweep_extents
+        min_u, max_u, min_v, max_v = sweep_extents(pts, valid,
+                                                   edge_dx, edge_dy)
+    else:
+        dxb = edge_dx[:, :, None]
+        dyb = edge_dy[:, :, None]
+        px = pts[..., 0][:, None, :]
+        py = pts[..., 1][:, None, :]
+        pu = px * dxb + py * dyb
+        pv = py * dxb - px * dyb
+        vm = valid[:, None, :]
+        min_u = jnp.min(jnp.where(vm, pu, big), axis=-1)
+        max_u = jnp.max(jnp.where(vm, pu, -big), axis=-1)
+        min_v = jnp.min(jnp.where(vm, pv, big), axis=-1)
+        max_v = jnp.max(jnp.where(vm, pv, -big), axis=-1)
+    # all-invalid components give inverted +-big extents; clamp to keep the
+    # arithmetic NaN-free (their outputs are masked by det_valid downstream)
+    du = jnp.maximum(max_u - min_u, 0.0)
+    dv = jnp.maximum(max_v - min_v, 0.0)
+    l2 = edge_dx * edge_dx + edge_dy * edge_dy
+    a_h, a_l = ds.two_prod(du, dv)
+    area_h, area_l = ds.div_by_f32(a_h, a_l, l2)
+    area_h = jnp.where(edge_valid, area_h, big)
+    area_l = jnp.where(edge_valid, area_l, 0.0)
+
+    # double-single minimum over candidates (pairwise halving)
+    mh, ml = area_h, area_l
+    n = k
+    while n > 1:
+        half = n // 2
+        if n % 2:
+            lt = (mh[:, n - 1] < mh[:, 0]) | \
+                 ((mh[:, n - 1] == mh[:, 0]) & (ml[:, n - 1] < ml[:, 0]))
+            mh = mh.at[:, 0].set(jnp.where(lt, mh[:, n - 1], mh[:, 0]))
+            ml = ml.at[:, 0].set(jnp.where(lt, ml[:, n - 1], ml[:, 0]))
+        ah_, al_ = mh[:, :half], ml[:, :half]
+        bh_, bl_ = mh[:, half:2 * half], ml[:, half:2 * half]
+        lt = (bh_ < ah_) | ((bh_ == ah_) & (bl_ < al_))
+        mh = jnp.where(lt, bh_, ah_)
+        ml = jnp.where(lt, bl_, al_)
+        n = half
+    # ties: double-single noise is ~1e-13 relative while distinct rational
+    # areas differ by >= 1/(l2_i * l2_j) — 1e-9 relative separates them for
+    # any realistic component scale
+    diff_h, _ = ds.sub(area_h, area_l, mh, ml)
+    tie = edge_valid & (diff_h <= mh * jnp.float32(1e-9) + jnp.float32(1e-9))
+    ebest = jnp.argmax(jnp.where(tie, edge_angles, -1.0), axis=1)
+
+    bdx = edge_dx[rows, ebest]
+    bdy = edge_dy[rows, ebest]
+    bl2 = l2[rows, ebest]
+    bl = jnp.sqrt(bl2)
+    w_side = du[rows, ebest] / bl
+    h_side = dv[rows, ebest] / bl
+    cu2 = min_u[rows, ebest] + max_u[rows, ebest]   # 2 * scaled centre
+    cv2_ = min_v[rows, ebest] + max_v[rows, ebest]
+    t1h, t1l = ds.two_prod(cu2, bdx)
+    t2h, t2l = ds.two_prod(cv2_, bdy)
+    nxh, nxl = ds.sub(t1h, t1l, t2h, t2l)
+    t3h, t3l = ds.two_prod(cu2, bdy)
+    t4h, t4l = ds.two_prod(cv2_, bdx)
+    nyh, nyl = ds.add(t3h, t3l, t4h, t4l)
+    inv = 1.0 / (2.0 * bl2)
+    cx = nxh * inv + nxl * inv
+    cy = nyh * inv + nyl * inv
+    ang_deg = jnp.degrees(edge_angles[rows, ebest])
+    # cv2's classic representation: angle in [-90, 0), w along its direction
+    return {'cx': cx, 'cy': cy, 'w': h_side, 'h': w_side,
+            'angle_deg': ang_deg - 90.0}
+
+
 @partial(jax.jit, static_argnames=('coarse_k', 'fine_k',
                                    'use_pallas_sweep'))
 def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
+                  edge_dx=None, edge_dy=None,
                   coarse_k=96, fine_k=17, use_pallas_sweep=None):
-    """Minimum-area enclosing rectangle via coarse-to-fine angle sweep.
+    """Minimum-area enclosing rectangle.
 
     Semantics of cv2.minAreaRect on the component's pixel-centre point set
     (track_eval.py:287): returns centre (cx, cy), side lengths (w, h) as
-    point-extents, and the angle of the w side in degrees within [0, 90).
-    Exact up to the final angular resolution (90 deg / coarse_k / fine_k).
+    point-extents, and the angle in cv2's classic convention — degrees in
+    [-90, 0) with w being the extent along the reported angle's direction
+    (an axis-aligned rect reports -90 with w = the vertical extent).
+
+    With integer hull-edge vectors (``edge_dx``/``edge_dy`` from
+    component_stats) the selection is EXACT — see _min_area_rect_exact.
+    Without them a coarse-to-fine float32 angle sweep is used (exact up to
+    90 deg / coarse_k / fine_k angular resolution).
 
     Known deviation: when several hull edges yield exactly the minimal area
     (common for tiny symmetric integer blobs), OpenCV's choice among them is
@@ -632,6 +769,10 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
         use_pallas_sweep = _SWEEP_OVERRIDE
     elif use_pallas_sweep is None:
         use_pallas_sweep = _devices_are_tpu()
+
+    if edge_dx is not None:
+        return _min_area_rect_exact(pts, valid, edge_dx, edge_dy,
+                                    edge_angles, edge_valid, use_pallas_sweep)
 
     def fine_extents(p, vmask, ang):
         if use_pallas_sweep:
@@ -711,7 +852,7 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
     sin = jnp.sin(ang)
     cx = cu * cos - cv_ * sin
     cy = cu * sin + cv_ * cos
-    # normalise angle into [0, 90) keeping w along the reported angle
+    # normalise the sweep angle into [0, 90) keeping w along it...
     ang_deg = jnp.degrees(ang)
     neg = ang_deg < 0
     ang_deg = jnp.where(neg, ang_deg + 90.0, ang_deg)
@@ -721,4 +862,12 @@ def min_area_rect(pts, valid, edge_angles=None, edge_valid=None,
     ang_deg = jnp.where(over, ang_deg - 90.0, ang_deg)
     w_out2 = jnp.where(over, h_out, w_out)
     h_out2 = jnp.where(over, w_out, h_out)
-    return {'cx': cx, 'cy': cy, 'w': w_out2, 'h': h_out2, 'angle_deg': ang_deg}
+    # ...then emit cv2's own representation (verified against cv2 5.0 on
+    # this host, tests/test_labeling.py): angle in [-90, 0) with w = the
+    # extent along the reported angle's direction. An internal angle a in
+    # [0, 90) with w along a describes the same rectangle as cv2's
+    # (w', h', a') = (h, w, a - 90) — the interchange _list.csv columns
+    # WIDTH/HEIGHT/DEGREES_ANGLE match the reference row-for-row this way
+    # (track_eval.py:287,313-316).
+    return {'cx': cx, 'cy': cy, 'w': h_out2, 'h': w_out2,
+            'angle_deg': ang_deg - 90.0}

@@ -111,6 +111,8 @@ def detect_from_blurred(gray, blurred, frame_valid, thresholds, *,
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
+                                edge_dx=tables['edge_dx'],
+                                edge_dy=tables['edge_dy'],
                                 use_pallas_sweep=use_pallas_sweep)
         valid = tables['count'] > 0
         if include_luminosity:

@@ -232,6 +232,8 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
+                                edge_dx=tables['edge_dx'],
+                                edge_dy=tables['edge_dy'],
                                 use_pallas_sweep=use_pallas)
         det_valid = tables['count'] > 0
         if exact_lum:

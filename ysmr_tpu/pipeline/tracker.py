@@ -136,18 +136,27 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
     if use_gsff:
         g = state['gsff']
         m = pos_new[:, :2].astype(jnp.float32)
+        # a coasting slot (active, unmatched, not newly registered) feeds its
+        # own stored prediction back as the measurement (tracker.py:219-227);
+        # the stored pos is only the hi half of the double-single prediction,
+        # so re-attach the lo half to keep the feedback loop full-precision
+        coasting = active_new & ~matched & ~reg_slot
+        m_lo = jnp.where(coasting[:, None], g['pred_lo'], 0.0)
         # fresh state for newly-registered slots: previous_measurements is
         # [m] * n_i[0] (gsff.py:279-281); the whole ring is filled with m
         gstate = {
             'buf': jnp.where(reg_slot[:, None, None],
                              jnp.broadcast_to(m[:, None, :], g['buf'].shape),
                              g['buf']),
+            'buf_lo': jnp.where(reg_slot[:, None, None], 0.0, g['buf_lo']),
             'len': jnp.where(reg_slot, jnp.int32(gsff_n_i0), g['len']),
             'mode': jnp.where(reg_slot, 0, g['mode']),
             'log_w': jnp.where(reg_slot[:, None], gsff_ops.NEG_INF, g['log_w']),
+            'pred_lo': jnp.where(reg_slot[:, None], 0.0, g['pred_lo']),
         }
         gstate, corrected, predicted = gsff_ops._step(
-            gsff_gains, gsff_n_i, gsff_n_f, gstate, m, active_new)
+            gsff_gains, gsff_n_i, gsff_n_f, gstate, m, active_new,
+            measurements_lo=m_lo)
         emit_pos = jnp.where(active_new[:, None],
                              jnp.concatenate([corrected, pos_new[:, 2:]], axis=1),
                              pos_new)
