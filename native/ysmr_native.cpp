@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <new>
 #include <vector>
@@ -47,16 +48,31 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static inline char* write_double(char* p, double v) {
-    // shortest round-trip representation; integral values get a trailing .0
-    // to match Python's str(float)
-    if (v == static_cast<int64_t>(v) && std::fabs(v) < 1e15) {
+    // Python repr() semantics: shortest round-trip digits, positional
+    // notation for 1e-4 <= |v| < 1e16 and scientific (two-digit exponent)
+    // outside it, integral values with a trailing .0, signed zero kept.
+    // std::to_chars with an explicit chars_format produces the shortest
+    // representation IN THAT FORMAT, which is exactly Python's rule — the
+    // format-free overload would switch to scientific whenever shorter
+    // (e.g. 1e-04 instead of 0.0001).
+    if (v == 0.0) {
+        if (std::signbit(v)) *p++ = '-';
+        *p++ = '0';
+        *p++ = '.';
+        *p++ = '0';
+        return p;
+    }
+    double a = std::fabs(v);
+    if (a < 1e16 && v == static_cast<int64_t>(v)) {
         auto r = std::to_chars(p, p + 24, static_cast<int64_t>(v));
         p = r.ptr;
         *p++ = '.';
         *p++ = '0';
         return p;
     }
-    auto r = std::to_chars(p, p + 32, v);
+    auto fmt = (a >= 1e-4 && a < 1e16) ? std::chars_format::fixed
+                                       : std::chars_format::scientific;
+    auto r = std::to_chars(p, p + 40, v, fmt);
     return r.ptr;
 }
 
@@ -86,6 +102,98 @@ int64_t format_rows(const int64_t* track_id, const int64_t* frame,
         if (lum != nullptr) {
             *p++ = ',';
             p = write_double(p, lum[i]);
+        }
+        *p++ = '\n';
+    }
+    return p - out;
+}
+
+// ---------------------------------------------------------------------------
+// Generic typed-column CSV table formatting (the _selected_data /
+// _statistics / _analysed artifacts). pandas.DataFrame.to_csv spends
+// seconds per million rows in per-chunk object conversion; this renders the
+// same bytes (verified in tests/test_csv_io.py) in one pass.
+//
+// Column types: 0 = int64, 1 = float64 (NaN -> empty field like pandas'
+// na_rep; single-column frames with NaN must use pandas — it quotes a
+// fully-empty row), 2 = bool as uint8 ('True'/'False'), 4 = float16 passed
+// as raw uint16 bits (shortest round-trip at half precision — numpy's str),
+// 5 = fixed-width UTF-8 bytes (NUL-padded; caller guarantees no characters
+// that pandas would quote).
+// ---------------------------------------------------------------------------
+
+static inline char* write_half(char* p, uint16_t bits) {
+    _Float16 h;
+    std::memcpy(&h, &bits, 2);
+    float f = static_cast<float>(h);
+    if (std::isnan(f)) {
+        return p;  // pandas' na_rep: empty field
+    }
+    double d = f;
+    if (d == static_cast<int64_t>(d) && std::fabs(d) < 1e15) {
+        auto r = std::to_chars(p, p + 24, static_cast<int64_t>(d));
+        p = r.ptr;
+        *p++ = '.';
+        *p++ = '0';
+        return p;
+    }
+    // fewest digits that survive a decimal round trip at half precision;
+    // %g's fixed/scientific switch matches numpy's str() for the half range
+    for (int prec = 1; prec <= 6; ++prec) {
+        char buf[40];
+        int len = std::snprintf(buf, sizeof buf, "%.*g", prec, d);
+        if (static_cast<_Float16>(std::strtof(buf, nullptr)) == h) {
+            std::memcpy(p, buf, static_cast<size_t>(len));
+            return p + len;
+        }
+    }
+    auto r = std::to_chars(p, p + 32, f);  // unreachable fallback
+    return r.ptr;
+}
+
+int64_t format_table(int64_t n_rows, int64_t n_cols, const int32_t* col_types,
+                     const int64_t* col_widths, const void** cols, char* out) {
+    char* p = out;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        for (int64_t c = 0; c < n_cols; ++c) {
+            if (c) *p++ = ',';
+            switch (col_types[c]) {
+                case 0: {
+                    auto r = std::to_chars(
+                        p, p + 21, static_cast<const int64_t*>(cols[c])[i]);
+                    p = r.ptr;
+                    break;
+                }
+                case 1: {
+                    double v = static_cast<const double*>(cols[c])[i];
+                    if (!std::isnan(v)) {  // pandas' na_rep: empty field
+                        p = write_double(p, v);
+                    }
+                    break;
+                }
+                case 2: {
+                    if (static_cast<const uint8_t*>(cols[c])[i]) {
+                        std::memcpy(p, "True", 4);
+                        p += 4;
+                    } else {
+                        std::memcpy(p, "False", 5);
+                        p += 5;
+                    }
+                    break;
+                }
+                case 4:
+                    p = write_half(p, static_cast<const uint16_t*>(cols[c])[i]);
+                    break;
+                case 5: {
+                    int64_t w = col_widths[c];
+                    const char* s = static_cast<const char*>(cols[c]) + i * w;
+                    int64_t len = 0;
+                    while (len < w && s[len]) ++len;
+                    std::memcpy(p, s, static_cast<size_t>(len));
+                    p += len;
+                    break;
+                }
+            }
         }
         *p++ = '\n';
     }

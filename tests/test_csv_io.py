@@ -123,3 +123,51 @@ def test_check_logfile_rollover(tmp_path):
     check_logfile(log, max_size=1024)
     assert os.path.isfile(log + '.1')
     assert not os.path.isfile(log)
+
+
+def test_fast_df_csv_bytes_matches_pandas(tmp_path):
+    """The native typed-column CSV writer must produce byte-identical output
+    to pandas.DataFrame.to_csv(index=False) across every dtype the pipeline
+    artifacts use (uint32/int32/int8 ints, float64 with NaN, float16, bool,
+    strings) — it replaces pandas on the dense-scene hot path."""
+    import io
+    import numpy as np
+    import pandas as pd
+    from ysmr_tpu import native
+    from ysmr_tpu.utils.csv_io import _fast_df_csv_bytes
+    if not native.available():
+        import pytest
+        pytest.skip('native library not built')
+    rng = np.random.default_rng(11)
+    n = 20000
+    f64 = rng.uniform(-1300, 1300, n)
+    f64[::5] = np.round(f64[::5])          # integral floats -> '.0'
+    f64[::97] = np.nan                     # pandas renders ""
+    f64[1] = 1.5e-5                        # scientific, two-digit exponent
+    f64[2] = 0.0001                        # positional boundary
+    f64[3] = 9.999e-5                      # scientific just below it
+    f64[4] = 1e15                          # positional upper range
+    f64[6] = 2e16                          # scientific upper range
+    f64[7] = -0.0                          # signed zero
+    df = pd.DataFrame({
+        'TRACK_ID': rng.integers(0, 4000, n).astype(np.uint32),
+        'POSITION_T': rng.integers(0, 630, n).astype(np.int32),
+        'POSITION_X (µm)': f64,
+        'bac_length': rng.uniform(0, 30, n).astype(np.float16),
+        'moving': rng.integers(0, 2, n).astype(np.int8),
+        'flag': rng.integers(0, 2, n).astype(bool),
+        'Motility Phenotype': np.array(['motile', 'immotile', 'twitching'])[
+            rng.integers(0, 3, n)],
+    })
+    fast = _fast_df_csv_bytes(df)
+    assert fast is not None
+    buf = io.StringIO()
+    df.to_csv(buf, index=False)
+    assert fast == buf.getvalue().encode('utf-8')
+
+    # columns pandas must keep handling fall back (None), not crash
+    assert _fast_df_csv_bytes(
+        pd.DataFrame({'x': np.zeros(4, np.float32)})) is None
+    assert _fast_df_csv_bytes(
+        pd.DataFrame({'s': ['a', 'with,comma']})) is None
+    assert _fast_df_csv_bytes(pd.DataFrame({'s': ['a', '']})) is None

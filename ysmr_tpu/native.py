@@ -32,6 +32,11 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_char_p]
+        lib.format_table.restype = ctypes.c_int64
+        lib.format_table.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p]
         lib.min_area_rect_batch.restype = None
         lib.min_area_rect_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
@@ -81,6 +86,60 @@ def available():
 
 def _dp(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+#: format_table column type tags (must match native/ysmr_native.cpp)
+TABLE_INT64 = 0
+TABLE_FLOAT64 = 1
+TABLE_BOOL = 2
+TABLE_FLOAT16 = 4
+TABLE_BYTES = 5
+
+#: conservative per-value byte budgets for the output buffer
+_TABLE_WIDTHS = {TABLE_INT64: 21, TABLE_FLOAT64: 26, TABLE_BOOL: 6,
+                 TABLE_FLOAT16: 14}
+
+
+def format_table(columns):
+    """CSV bytes for typed columns; None if the library is missing.
+
+    :param columns: list of (type_tag, contiguous ndarray) pairs —
+        TABLE_INT64: int64, TABLE_FLOAT64: float64 (NaN renders as ``""``),
+        TABLE_BOOL: uint8/bool, TABLE_FLOAT16: float16 (raw half bits),
+        TABLE_BYTES: fixed-width ``S``-dtype bytes (NUL-padded)
+    :return: bytes of all data rows (no header), or None
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    k = len(columns)
+    n = len(columns[0][1]) if k else 0
+    types = np.zeros(k, np.int32)
+    widths = np.zeros(k, np.int64)
+    ptrs = (ctypes.c_void_p * k)()
+    arrays = []  # keep references alive
+    budget = 1
+    for i, (tag, arr) in enumerate(columns):
+        if tag == TABLE_FLOAT16:
+            arr = np.ascontiguousarray(arr, dtype=np.float16).view(np.uint16)
+        elif tag == TABLE_BOOL:
+            arr = np.ascontiguousarray(arr).astype(np.uint8)
+        elif tag == TABLE_BYTES:
+            arr = np.ascontiguousarray(arr)
+            widths[i] = arr.dtype.itemsize
+        elif tag == TABLE_INT64:
+            arr = np.ascontiguousarray(arr, dtype=np.int64)
+        else:
+            arr = np.ascontiguousarray(arr, dtype=np.float64)
+        arrays.append(arr)
+        types[i] = tag
+        ptrs[i] = arr.ctypes.data
+        budget += (_TABLE_WIDTHS.get(tag) or int(widths[i])) + 1
+    buf = ctypes.create_string_buffer(max(n, 1) * budget)
+    written = lib.format_table(
+        n, k, types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ptrs, buf)
+    return buf.raw[:written]
 
 
 def format_rows(track_id, frame, x, y, w, h, deg, illumination=None):

@@ -128,6 +128,67 @@ def sort_list(file_path=None, sort=None, df=None, save_file=False):
     return df
 
 
+_CSV_SPECIALS = (',', '"', '\n', '\r')
+
+
+def _fast_df_csv_bytes(df):
+    """pandas-identical ``to_csv(index=False)`` bytes via the native typed
+    formatter, or None when a column needs pandas (float32, exotic dtypes,
+    strings containing characters pandas would quote).
+
+    pandas spends seconds per million rows in per-chunk object conversion;
+    the native path renders the same bytes (tests/test_csv_io.py asserts
+    byte equality) in one pass — the dominant cost of the dense-scene
+    select/evaluate stages was this serialisation.
+    """
+    from ysmr_tpu import native
+    if not native.available():
+        return None
+    for name in df.columns:
+        if not isinstance(name, str) or any(c in name for c in _CSV_SPECIALS):
+            return None
+    columns = []
+    for name in df.columns:
+        arr = df[name].to_numpy()
+        kind = arr.dtype.kind
+        if kind in 'iu':
+            columns.append((native.TABLE_INT64, arr))
+        elif kind == 'f':
+            if arr.dtype == np.float64:
+                columns.append((native.TABLE_FLOAT64, arr))
+            elif arr.dtype == np.float16:
+                columns.append((native.TABLE_FLOAT16, arr))
+            else:
+                return None
+        elif kind == 'b':
+            columns.append((native.TABLE_BOOL, arr))
+        elif kind in 'OU':
+            try:
+                vals = arr.astype('U')
+            except (TypeError, ValueError):
+                return None
+            if kind == 'O' and not all(isinstance(v, str) for v in arr):
+                return None
+            joined = '' if vals.size == 0 else ''.join(
+                np.unique(vals).tolist())
+            if any(c in joined for c in _CSV_SPECIALS):
+                return None
+            if vals.size and (np.char.str_len(vals) == 0).any():
+                return None  # pandas renders empty strings as ""
+            columns.append((native.TABLE_BYTES, np.char.encode(vals, 'utf-8')))
+        else:
+            return None
+    if len(columns) == 1 and columns[0][0] in (native.TABLE_FLOAT64,
+                                               native.TABLE_FLOAT16):
+        if np.isnan(np.asarray(columns[0][1], dtype=np.float64)).any():
+            return None  # pandas quotes a fully-empty row ("")
+    header = (','.join(df.columns) + '\n').encode('utf-8')
+    body = native.format_table(columns)
+    if body is None:
+        return None
+    return header + body
+
+
 def save_df_to_csv(df, save_path, rename_old_file=True):
     """Save a DataFrame to CSV, optionally renaming a pre-existing file."""
     logger = logging.getLogger('ysmr').getChild(__name__)
@@ -143,8 +204,13 @@ def save_df_to_csv(df, save_path, rename_old_file=True):
         except Exception as ex:
             logger.exception('Error renaming previous file %s: %r', save_path, ex.args)
     try:
-        with open(save_path, 'w+', newline='\n') as csv:
-            df.to_csv(csv, index=False, encoding='utf-8')
+        fast = _fast_df_csv_bytes(df)
+        if fast is not None:
+            with open(save_path, 'wb') as out:
+                out.write(fast)
+        else:
+            with open(save_path, 'w+', newline='\n') as csv:
+                df.to_csv(csv, index=False, encoding='utf-8')
         logger.debug('Selected results saved to: %s', save_path)
     except Exception as ex:
         logger.exception('Error saving file %s: %r', save_path, ex.args)
