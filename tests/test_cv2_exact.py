@@ -141,3 +141,79 @@ def test_degenerate_components():
         ref = cv2.minAreaRect(cont[0])
         got = cx.rect_from_component_pixels(xs, ys)
         assert _rect_bits(ref) == _rect_bits(got), pix
+
+
+# ---------------------------------------------------------------------------
+# native C++ port (native/cv2_exact.cpp)
+# ---------------------------------------------------------------------------
+
+from ysmr_tpu import native
+
+
+@pytest.mark.skipif(not native.available(), reason='native lib not built')
+def test_native_single_matches_cv2():
+    rng = np.random.default_rng(1234)
+    for _ in range(5000):
+        n = int(rng.integers(1, 40))
+        s = int(rng.integers(2, 60))
+        pts = np.unique(rng.integers(0, s, size=(n, 2)), axis=0)
+        ref = cv2.minAreaRect(pts.astype(np.int32))
+        got = native.cv2_min_area_rect_single(pts)
+        assert got is not None
+        assert _rect_bits(ref) == (_bits(got[0]), _bits(got[1]),
+                                   _bits(got[2]), _bits(got[3]),
+                                   _bits(got[4])), pts.tolist()
+
+
+@pytest.mark.skipif(not native.available(), reason='native lib not built')
+def test_native_batch_matches_cv2_full_chain():
+    """Frame-batch API: packed pixels + det indices -> cv2-identical rects."""
+    rng = np.random.default_rng(77)
+    T, F, W, H, MAXD = 6, 4096, 640, 480, 32
+    pp = np.zeros((T, F), np.uint32)
+    di = np.full((T, F), -1, np.int16)
+    counts = np.zeros(T, np.int32)
+    refs = {}
+    for ti in range(T):
+        frame = np.zeros((H, W), np.uint8)
+        n_blobs = int(rng.integers(1, MAXD))
+        for _ in range(n_blobs):
+            img = _random_blob(rng, 30, 30)
+            oy = int(rng.integers(0, H - 40))
+            ox = int(rng.integers(0, W - 40))
+            frame[oy:oy + 30, ox:ox + 30] |= img
+        cont, _ = cv2.findContours(frame, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+        # our det order convention: the pipeline already matches the
+        # reference's enumeration; here we just build per-component buckets
+        _, lbl = cv2.connectedComponents(frame, connectivity=8)
+        ys, xs = np.nonzero(frame)
+        order = np.lexsort((xs, ys))
+        xs, ys = xs[order], ys[order]
+        n = len(xs)
+        if n > F:
+            continue
+        counts[ti] = n
+        pp[ti, :n] = (ys.astype(np.uint32) * W + xs.astype(np.uint32))
+        # map labels to det ids in first-appearance (raster) order
+        lab_order = {}
+        for la in lbl[ys, xs]:
+            if la not in lab_order and len(lab_order) < MAXD:
+                lab_order[la] = len(lab_order)
+        di[ti, :n] = np.array([lab_order.get(la, -1)
+                               for la in lbl[ys, xs]], np.int16)
+        for c in cont:
+            r = cv2.minAreaRect(c)
+            cpts = c.reshape(-1, 2)
+            la = lbl[cpts[0][1], cpts[0][0]]
+            if la in lab_order:
+                refs[(ti, lab_order[la])] = r
+    out, valid = native.cv2_rects_batch(pp, counts, di, W, MAXD)
+    checked = 0
+    for (ti, d), r in refs.items():
+        assert valid[ti, d]
+        got = out[ti, d]
+        assert _rect_bits(r) == (_bits(got[0]), _bits(got[1]), _bits(got[2]),
+                                 _bits(got[3]), _bits(got[4])), (ti, d)
+        checked += 1
+    assert checked > 20

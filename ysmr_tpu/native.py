@@ -72,6 +72,16 @@ def _load():
         lib.gray_at_pixels.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
+        lib.cv2_rects_batch.restype = ctypes.c_int
+        lib.cv2_rects_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.cv2_min_area_rect_single.restype = ctypes.c_int
+        lib.cv2_min_area_rect_single.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
     except (OSError, AttributeError):
         # missing library, or a stale .so lacking a required symbol: fall
@@ -289,4 +299,59 @@ def min_area_rect_batch(pts_xy, valid):
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         d, p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def cv2_rects_batch(px_packed, counts, det_idx, w, max_det):
+    """Bit-exact cv2.minAreaRect measurements for a batch of frames.
+
+    Replicates the reference's cv2.minAreaRect(findContours(...)) chain to
+    the last float bit (native/cv2_exact.cpp; reference implementation and
+    provenance in ops/cv2_exact.py).
+
+    :param px_packed: (T, F) uint32 wire pixels (bits 0..30 = y*w + x,
+        raster order per frame)
+    :param counts: (T,) int32 valid pixels per frame
+    :param det_idx: (T, F) int16 detection index per pixel, -1 = none
+    :param w: frame width; max_det: detection slots per frame
+    :return: ((T, max_det, 5) float32 [cx, cy, w, h, angle],
+        (T, max_det) bool) or None if the library is missing
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pp = np.ascontiguousarray(px_packed, dtype=np.uint32)
+    cc = np.ascontiguousarray(counts, dtype=np.int32)
+    di = np.ascontiguousarray(det_idx, dtype=np.int16)
+    t, f = pp.shape
+    out = np.empty((t, max_det, 5), dtype=np.float32)
+    valid = np.empty((t, max_det), dtype=np.uint8)
+    rc = lib.cv2_rects_batch(
+        pp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        di.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        t, f, int(w), int(max_det),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return out, valid.astype(bool)
+
+
+def cv2_min_area_rect_single(pts_xy):
+    """cv2.minAreaRect on one int point sequence (tests/debug).
+
+    :param pts_xy: (N, 2) int array
+    :return: (5,) float32 [cx, cy, w, h, angle] or None if unavailable
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts_xy, dtype=np.int32)
+    out = np.empty(5, dtype=np.float32)
+    rc = lib.cv2_min_area_rect_single(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(pts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        return None
     return out
