@@ -143,13 +143,13 @@ def check_row_parity(our_df, ref_list_csv):
     reference's cached ``_list.csv``.
 
     Returns (strict_bool, detail dict). Strict means identical
-    (TRACK_ID, POSITION_T) sequences and positions within the e2e
-    tolerance (0.08 px). The detail quantifies the known id-permutation
-    mode: a DISAPPEARED track coasts on GSFF self-feedback, which
-    integrates the ~0.08 px centroid tolerance into pixels of drift over
-    tens of frames; when an object reappears near two candidates, the
-    greedy winner can flip, permuting the id numbering from there on
-    while track counts and statistics survive (MIGRATION.md §1).
+    (TRACK_ID, POSITION_T) sequences, cv2-bit-exact W/H/DEGREES_ANGLE
+    (host-rect mode measures with the bit-exact replica of cv2's
+    minAreaRect chain, native/cv2_exact.cpp), and positions within the
+    double-single-GSFF-vs-float64 residual (~1e-4 px). The detail
+    quantifies any id divergence: before host-rect mode, cv2's ~3e-4 px
+    caliper noise amplified through the filter could flip one near-tie
+    greedy match and permute the numbering from there on.
     """
     import pandas as pd
     if not (ref_list_csv and os.path.isfile(ref_list_csv)):
@@ -172,26 +172,24 @@ def check_row_parity(our_df, ref_list_csv):
     # WIDTH/HEIGHT/DEGREES_ANGLE match the reference row-for-row
     ok_rows = ~mismatch
     if ok_rows.any():
+        # the 1e-9 slack only absorbs the reference-side CSV round trip
+        # (pandas' default float parser is ~1 f64 ulp off on ~1 % of values)
         same_rect = np.ones(ok_rows.sum(), bool)
-        for col, atol in (('WIDTH', 1e-4), ('HEIGHT', 1e-4),
-                          ('DEGREES_ANGLE', 1e-3)):
+        for col in ('WIDTH', 'HEIGHT', 'DEGREES_ANGLE'):
             diff = np.abs(our_df[col].to_numpy(dtype=float)[ok_rows] -
                           ref[col].to_numpy(dtype=float)[ok_rows])
-            same_rect &= diff <= atol
+            same_rect &= diff <= 1e-9
         detail['rect_columns_agreement'] = round(float(same_rect.mean()), 4)
     if mismatch.any():
         first = int(np.nonzero(mismatch)[0][0])
         detail['first_mismatch_row'] = first
         return False, detail
-    ok = True
-    for col, atol in (('POSITION_X', 0.08), ('POSITION_Y', 0.08)):
+    ok = bool(detail.get('rect_columns_agreement', 0) == 1.0)
+    for col, atol in (('POSITION_X', 1e-3), ('POSITION_Y', 1e-3)):
         diff = np.abs(our_df[col].to_numpy(dtype=float) -
                       ref[col].to_numpy(dtype=float))
-        detail['max_abs_diff_{}'.format(col)] = round(float(diff.max()), 4)
+        detail['max_abs_diff_{}'.format(col)] = float(diff.max())
         ok = ok and bool((diff <= atol).all())
-    area_o = (our_df['WIDTH'] * our_df['HEIGHT']).to_numpy(dtype=float)
-    area_r = (ref['WIDTH'] * ref['HEIGHT']).to_numpy(dtype=float)
-    ok = ok and bool(np.allclose(area_o, area_r, atol=0.08, rtol=0.01))
     return ok, detail
 
 

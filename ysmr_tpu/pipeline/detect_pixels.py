@@ -28,12 +28,13 @@ _FORCE_SORT_COMPACT = False
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
                                    'max_bh', 'cc_iters', 'include_luminosity',
-                                   'lum_win', 'use_pallas', 'use_table'))
+                                   'lum_win', 'use_pallas', 'use_table',
+                                   'return_det_px', 'skip_rect'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None, lum_win=48,
                        gray_frames=None, use_pallas=False, use_table=False,
-                       px_packed=None):
+                       px_packed=None, return_det_px=False, skip_rect=False):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -55,8 +56,16 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     :param px_packed: optional (T, F) uint32 packed wire format
         (bits 0..30 = y*w + x, bit 31 = marker) replacing px_x/px_y/px_marker
         — 20 % less host-device traffic
+    :param return_det_px: also return ``det_px_idx`` (T, F) int16 — the
+        detection index of every WIRE-ORDER input pixel (-1 = background /
+        dropped / beyond max_det). Feeds the host-side cv2-bit-exact rect
+        measurement (native cv2_rects_batch).
+    :param skip_rect: skip the device hull/caliper rectangle entirely
+        (det_xy/det_info return zeros); used when the host computes the
+        cv2-exact rects so the device only labels and counts. Ignored when
+        the exact rotated-rect luminosity needs the device rect.
     :return: dict with det_xy (T, D, K), det_info (T, D, 3), det_valid (T, D),
-        n_components (T,)
+        n_components (T,) [, det_px_idx (T, F)]
     """
     n = h * w
     if px_packed is not None:
@@ -197,6 +206,15 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         px_y = slin8 // w
         gray_in = sgray8
         seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
+        if return_det_px:
+            # map labels -> det ids at the run roots, then read the map at
+            # every wire-order pixel's label (the sort destroyed wire order)
+            root_idx = jnp.where(new_run, slab8 + t_off, oob)
+            det_map = jnp.full((t * (n + 1),), -1, jnp.int32).at[
+                root_idx.reshape(-1)].set(comp.reshape(-1), mode='drop',
+                                          unique_indices=True)
+            g = det_map[(lab8_fg + t_off).reshape(-1)].reshape(t, f)
+            det_px = jnp.where((g >= 0) & (g < max_det), g, -1)
     else:
         mask = rasterize_all(lin)
         if double_threshold:
@@ -220,8 +238,42 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         seg = jnp.where(keep, jnp.minimum(comp, max_det), max_det)
         gray_in = px_gray.astype(jnp.int32) if px_gray is not None \
             else jnp.zeros_like(px_x)
+        if return_det_px:
+            # comp is already in wire order on these paths
+            det_px = jnp.where(keep & (comp < max_det), comp, -1)
 
     exact_lum = include_luminosity and gray_frames is not None
+
+    if skip_rect and not exact_lum:
+        # host computes the cv2-bit-exact rects from the wire pixels +
+        # det_px_idx (native cv2_rects_batch); the device only labels. The
+        # compacted ids are dense 0..n_components-1, so slot validity is a
+        # simple iota compare — identical to the count>0 rule of the stats
+        # path.
+        det_valid = jnp.arange(max_det, dtype=jnp.int32)[None, :] < \
+            jnp.minimum(n_components, max_det)[:, None]
+        if include_luminosity:
+            # component-pixel-mean luminosity via plain segment sums — no
+            # hull/caliper work (the rects come from the host)
+            def lum_frame(seg_f, keep_f, gray_f):
+                cnt = jax.ops.segment_sum(keep_f.astype(jnp.int32), seg_f,
+                                          num_segments=max_det + 1)[:max_det]
+                s = jax.ops.segment_sum(
+                    jnp.where(keep_f, gray_f, 0), seg_f,
+                    num_segments=max_det + 1)[:max_det]
+                return s.astype(jnp.float32) / jnp.maximum(cnt, 1) / 100.0
+            lum = jax.vmap(lum_frame)(seg, keep, gray_in)
+            det_xy = jnp.stack(
+                [jnp.zeros_like(lum), jnp.zeros_like(lum), lum], axis=-1)
+            det_xy = jnp.where(det_valid[..., None], det_xy, 0.0)
+        else:
+            det_xy = jnp.zeros((t, max_det, 2), jnp.float32)
+        out = {'det_xy': det_xy,
+               'det_info': jnp.zeros((t, max_det, 3), jnp.float32),
+               'det_valid': det_valid, 'n_components': n_components}
+        if return_det_px:
+            out['det_px_idx'] = det_px.astype(jnp.int16)
+        return out
 
     def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f, frame_gray):
         tables = lb.component_stats(
@@ -261,5 +313,8 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     det_info = jnp.stack([rect['w'], rect['h'], rect['angle_deg']], axis=-1)
     det_xy = jnp.where(det_valid[..., None], det_xy, 0.0)
     det_info = jnp.where(det_valid[..., None], det_info, 0.0)
-    return {'det_xy': det_xy, 'det_info': det_info, 'det_valid': det_valid,
-            'n_components': n_components}
+    out = {'det_xy': det_xy, 'det_info': det_info, 'det_valid': det_valid,
+           'n_components': n_components}
+    if return_det_px:
+        out['det_px_idx'] = det_px.astype(jnp.int16)
+    return out

@@ -31,6 +31,21 @@ from ysmr_tpu.utils.logging_utils import get_loggers
 
 _H2D_BANDWIDTH = None
 
+_SLICE_JITS = {}
+
+
+def _slice_cols(k):
+    """Jitted (T, F) -> (T, :k) column slice (cached per static k): shrinks
+    the det_px_idx readback to the batch's actual pixel-count bucket."""
+    if k not in _SLICE_JITS:
+        import jax
+        _SLICE_JITS[k] = jax.jit(lambda a: a[:, :k])
+    return _SLICE_JITS[k]
+
+
+def _next_pow2(n):
+    return 1 << max(int(n) - 1, 1).bit_length()
+
 
 def probe_h2d_bandwidth(n_probes=3):
     """Measured host->device bandwidth in bytes/s (cached per process).
@@ -215,6 +230,20 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     except VideoReadError as err:
         logger.exception('Problem opening file %s: %s', video_path, err)
         return None
+    # host-side cv2-bit-exact rect measurement (native/cv2_exact.cpp): the
+    # device labels components and returns a per-pixel detection index; the
+    # host reproduces cv2.minAreaRect(findContours(...)) to the last float
+    # bit from the wire pixels it already holds, and the tracker runs one
+    # batch behind detection on the corrected measurements. This removes the
+    # ~3e-4 px f32 caliper noise delta vs the reference — the piece that
+    # blocks exact TRACK_ID numbering parity (reference track_eval.py:287).
+    use_host_rects = False
+    if transfer_mode == 'pixels' and display is None and \
+            bool(settings.get('cv2 exact rects', True)):
+        from ysmr_tpu import native as native_mod
+        use_host_rects = native_mod.available()
+        logger.debug('cv2-exact host rect measurement: %s',
+                     'on' if use_host_rects else 'native library missing')
     use_gsff = not settings['disable gsff']
     dims = 3 if config.include_luminosity else 2
     max_slots = settings['max track slots']
@@ -279,6 +308,69 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     # current batch and stall the single-core decode thread; one batch later
     # the values are long since ready and the fetch costs only the transfer
     in_flight = None  # (emissions, start, frame_valid, n_components, disp)
+    # host-rect mode runs the tracker one batch behind detection:
+    # detect(i) dispatch -> [decode i+1 overlaps] -> det_px(i) readback ->
+    # host cv2-exact rects(i) -> tracker(i) dispatch -> emissions(i) readback
+    # one batch later still. pending_det holds the detected-not-yet-tracked
+    # batch; trk_d is the tracker's detection-slot width (small bucket first,
+    # upgraded once to max_det if a frame ever exceeds it).
+    pending_det = None
+    trk_d = min(config.max_det, 128)
+
+    def stage_host_rect_detect(tables, data, count, start, fv):
+        """Queue a detected batch for the host rect stage: slice det_px_idx
+        to the batch's pixel-count bucket, start its async readback, keep
+        the host-side wire pixels."""
+        det_px_dev = tables.pop('det_px_idx')
+        counts_np = np.asarray(data['count'])
+        f_bucket = min(det_px_dev.shape[1],
+                       max(256, _next_pow2(int(counts_np.max()) if count else 1)))
+        det_px_dev = _slice_cols(f_bucket)(det_px_dev)
+        packed_np = data.get('px_packed')
+        if packed_np is None:  # split-coordinate wire format (luminosity)
+            packed_np = (data['px_y'].astype(np.uint32) *
+                         np.uint32(frame_width) +
+                         data['px_x'].astype(np.uint32))
+        arrs = [det_px_dev, tables['n_components']]
+        if config.include_luminosity:
+            arrs.append(tables['det_xy'])
+        for arr in arrs:
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        return {'det_px': det_px_dev, 'packed': packed_np,
+                'counts': counts_np, 'start': start, 'frame_valid': fv,
+                'n_components': tables['n_components'],
+                'det_xy_dev': tables['det_xy']
+                if config.include_luminosity else None}
+
+    def run_host_rect_tracker(pending):
+        """cv2-bit-exact rects on the host for a read-back batch, then the
+        tracker scan on the corrected measurements; returns the flight tuple
+        for the delayed emissions readback."""
+        nonlocal state, trk_d
+        det_px = np.asarray(pending['det_px'])
+        n_comp = np.asarray(pending['n_components'])
+        fv = pending['frame_valid']
+        max_n = int(n_comp[fv].max()) if fv.any() else 0
+        if max_n > trk_d:
+            trk_d = config.max_det  # one recompile of the scan, then stable
+        packed = np.ascontiguousarray(pending['packed'][:, :det_px.shape[1]])
+        counts = np.where(fv, pending['counts'], 0).astype(np.int32)
+        rects, rvalid = native_mod.cv2_rects_batch(
+            packed, counts, det_px, frame_width, trk_d)
+        det_xy = rects[:, :, :2]
+        if config.include_luminosity:
+            lum = np.asarray(pending['det_xy_dev'])[:, :trk_d, -1:]
+            det_xy = np.concatenate([det_xy, lum], axis=-1)
+        new_state, emissions = trk.run_tracker_scan(
+            state, np.ascontiguousarray(det_xy),
+            np.ascontiguousarray(rects[:, :, 2:5]), rvalid, **tracker_kwargs)
+        state = new_state
+        start_async_readback(emissions, pending['n_components'])
+        return (emissions, pending['start'], fv, pending['n_components'],
+                None)
 
     def start_async_readback(emissions, n_components):
         for arr in (emissions['mask'], emissions['ids'], emissions['pos'],
@@ -361,15 +453,24 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     lum_win=config.lum_win,
                     px_gray=data['px_gray']
                     if config.include_luminosity and 'px_gray' in data else None,
-                    use_pallas=use_pallas, use_table=use_table_cc)
+                    use_pallas=use_pallas, use_table=use_table_cc,
+                    return_det_px=use_host_rects, skip_rect=use_host_rects)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state,
                                           use_pallas=use_pallas)
-            state, emissions = trk.run_tracker_scan(
-                state, tables['det_xy'], tables['det_info'],
-                tables['det_valid'], **tracker_kwargs)
-            start_async_readback(emissions, tables['n_components'])
+            if use_host_rects:
+                pending_next = stage_host_rect_detect(
+                    tables, data, count, batch['start'], frame_valid)
+                new_flight = None
+                if pending_det is not None:
+                    new_flight = run_host_rect_tracker(pending_det)
+                pending_det = pending_next
+            else:
+                state, emissions = trk.run_tracker_scan(
+                    state, tables['det_xy'], tables['det_info'],
+                    tables['det_valid'], **tracker_kwargs)
+                start_async_readback(emissions, tables['n_components'])
             t2 = time.perf_counter()
             stage_t['dispatch'] += t2 - t1
             disp = None
@@ -384,33 +485,48 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     disp['frames'] = data
             csv_this_iter = 0.0
             frames_processed += count
-            if in_flight is not None:
-                if maybe_display(in_flight):
-                    logger.error('Processing file interrupted by user: %s',
-                                 video_path)
-                    error_during_read = True
-                    break
-                check_overflow(in_flight[3], in_flight[2])
-                out = _compact_emissions(*in_flight[:3])
-                if out is not None:
-                    pending.append(out)
-                    if all_parts is not None:
-                        all_parts.append(out)
-                        all_parts_rows += len(out['TRACK_ID'])
-                        if all_parts_rows > max_in_memory_rows:
-                            all_parts = None  # too big; sort from CSV at end
-                    pending_rows += len(out['TRACK_ID'])
-                    if pending_rows >= flush_every:
-                        t3 = time.perf_counter()
-                        flush()
-                        csv_this_iter = time.perf_counter() - t3
-                        stage_t['csv'] += csv_this_iter
-            in_flight = (emissions, batch['start'], frame_valid,
-                         tables['n_components'], disp)
+            if not use_host_rects:
+                new_flight = (emissions, batch['start'], frame_valid,
+                              tables['n_components'], disp)
+            if new_flight is not None:
+                if in_flight is not None:
+                    if maybe_display(in_flight):
+                        logger.error('Processing file interrupted by user: %s',
+                                     video_path)
+                        error_during_read = True
+                        break
+                    check_overflow(in_flight[3], in_flight[2])
+                    out = _compact_emissions(*in_flight[:3])
+                    if out is not None:
+                        pending.append(out)
+                        if all_parts is not None:
+                            all_parts.append(out)
+                            all_parts_rows += len(out['TRACK_ID'])
+                            if all_parts_rows > max_in_memory_rows:
+                                all_parts = None  # too big; sort from CSV at end
+                        pending_rows += len(out['TRACK_ID'])
+                        if pending_rows >= flush_every:
+                            t3 = time.perf_counter()
+                            flush()
+                            csv_this_iter = time.perf_counter() - t3
+                            stage_t['csv'] += csv_this_iter
+                in_flight = new_flight
             stage_t['readback'] += (time.perf_counter() - t2) - csv_this_iter
     except VideoReadError:
         logger.critical('Error during read with file %s', video_path)
         error_during_read = settings['stop evaluation on error']
+    if use_host_rects and pending_det is not None and not error_during_read:
+        # drain the detect->rect->track pipeline: consume the current flight,
+        # then track the final detected batch
+        if in_flight is not None:
+            check_overflow(in_flight[3], in_flight[2])
+            out = _compact_emissions(*in_flight[:3])
+            if out is not None:
+                pending.append(out)
+                if all_parts is not None:
+                    all_parts.append(out)
+                pending_rows += len(out['TRACK_ID'])
+        in_flight = run_host_rect_tracker(pending_det)
     if in_flight is not None and not error_during_read:
         if maybe_display(in_flight):
             logger.error('Processing file interrupted by user: %s', video_path)
