@@ -16,6 +16,7 @@ work for batch N+1 overlaps host writing of batch N.
 
 import logging
 import os
+from functools import partial
 
 import numpy as np
 
@@ -45,6 +46,32 @@ def _slice_cols(k):
 
 def _next_pow2(n):
     return 1 << max(int(n) - 1, 1).bit_length()
+
+
+_RECT_LUM_JIT = None
+
+
+def _det_xy_with_rect_lum(gray_frames, rects, valid, win):
+    """(cx, cy, ILLUMINATION) detection positions on device: the exact
+    filled-rotated-rect luminosity (ops/luminosity.py) evaluated at the
+    HOST-measured cv2-exact rects, so the stored value corresponds to the
+    row's own rect parameters (reference track_eval.py:290-300)."""
+    global _RECT_LUM_JIT
+    if _RECT_LUM_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        from ysmr_tpu.ops.luminosity import rect_mean_luminosity
+
+        @partial(jax.jit, static_argnames=('win',))
+        def f(gray, rects_b, valid_b, *, win):
+            def per_frame(g, r, v):
+                return rect_mean_luminosity(g, r[:, 0], r[:, 1], r[:, 2],
+                                            r[:, 3], r[:, 4], v, win=win)
+            lum = jax.vmap(per_frame)(gray, rects_b, valid_b)
+            return jnp.stack([rects_b[..., 0], rects_b[..., 1], lum], axis=-1)
+
+        _RECT_LUM_JIT = f
+    return _RECT_LUM_JIT(gray_frames, rects, valid, win=win)
 
 
 def probe_h2d_bandwidth(n_probes=3):
@@ -331,19 +358,20 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             packed_np = (data['px_y'].astype(np.uint32) *
                          np.uint32(frame_width) +
                          data['px_x'].astype(np.uint32))
-        arrs = [det_px_dev, tables['n_components']]
-        if config.include_luminosity:
-            arrs.append(tables['det_xy'])
-        for arr in arrs:
+        for arr in (det_px_dev, tables['n_components']):
             try:
                 arr.copy_to_host_async()
             except AttributeError:
                 pass
+        gray_dev = None
+        if config.include_luminosity:
+            # stage the gray planes for the rect-luminosity pass that runs
+            # at tracker time against the HOST rects (_det_xy_with_rect_lum)
+            gray_dev = _jax.device_put(np.ascontiguousarray(data['gray']))
         return {'det_px': det_px_dev, 'packed': packed_np,
                 'counts': counts_np, 'start': start, 'frame_valid': fv,
                 'n_components': tables['n_components'],
-                'det_xy_dev': tables['det_xy']
-                if config.include_luminosity else None}
+                'gray_dev': gray_dev}
 
     def run_host_rect_tracker(pending):
         """cv2-bit-exact rects on the host for a read-back batch, then the
@@ -360,12 +388,14 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         counts = np.where(fv, pending['counts'], 0).astype(np.int32)
         rects, rvalid = native_mod.cv2_rects_batch(
             packed, counts, det_px, frame_width, trk_d)
-        det_xy = rects[:, :, :2]
+        rects = np.where(rvalid[..., None], rects, np.float32(0))
         if config.include_luminosity:
-            lum = np.asarray(pending['det_xy_dev'])[:, :trk_d, -1:]
-            det_xy = np.concatenate([det_xy, lum], axis=-1)
+            det_xy = _det_xy_with_rect_lum(pending['gray_dev'], rects,
+                                           rvalid, config.lum_win)
+        else:
+            det_xy = np.ascontiguousarray(rects[:, :, :2])
         new_state, emissions = trk.run_tracker_scan(
-            state, np.ascontiguousarray(det_xy),
+            state, det_xy,
             np.ascontiguousarray(rects[:, :, 2:5]), rvalid, **tracker_kwargs)
         state = new_state
         start_async_readback(emissions, pending['n_components'])
@@ -447,12 +477,17 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     double_threshold=(config.mode == 'adaptive_double'),
                     max_det=config.max_det, max_bh=config.max_bh,
                     cc_iters=config.cc_iters,
-                    include_luminosity=config.include_luminosity,
+                    # in host-rect mode the device pass is labels-only; the
+                    # rect luminosity runs at tracker time on the host rects
+                    include_luminosity=config.include_luminosity
+                    and not use_host_rects,
                     gray_frames=data.get('gray')
-                    if config.include_luminosity else None,
+                    if config.include_luminosity and not use_host_rects
+                    else None,
                     lum_win=config.lum_win,
                     px_gray=data['px_gray']
-                    if config.include_luminosity and 'px_gray' in data else None,
+                    if config.include_luminosity and not use_host_rects
+                    and 'px_gray' in data else None,
                     use_pallas=use_pallas, use_table=use_table_cc,
                     return_det_px=use_host_rects, skip_rect=use_host_rects)
             else:
