@@ -145,11 +145,12 @@ def check_row_parity(our_df, ref_list_csv):
     Returns (strict_bool, detail dict). Strict means identical
     (TRACK_ID, POSITION_T) sequences, cv2-bit-exact W/H/DEGREES_ANGLE
     (host-rect mode measures with the bit-exact replica of cv2's
-    minAreaRect chain, native/cv2_exact.cpp), and positions within the
-    double-single-GSFF-vs-float64 residual (~1e-4 px). The detail
-    quantifies any id divergence: before host-rect mode, cv2's ~3e-4 px
-    caliper noise amplified through the filter could flip one near-tie
-    greedy match and permute the numbering from there on.
+    minAreaRect chain, native/cv2_exact.cpp), and positions within 1e-9 px
+    (the float64 host tracker, native/tracker64.cpp, reproduces the
+    reference's filter arithmetic; the residual is the reference-side CSV
+    round trip). The detail quantifies any id divergence — with the device
+    tracker, double-single f32 residue amplified at GSFF mode transitions
+    could flip one near-tie greedy match and permute the numbering.
     """
     import pandas as pd
     if not (ref_list_csv and os.path.isfile(ref_list_csv)):
@@ -185,7 +186,7 @@ def check_row_parity(our_df, ref_list_csv):
         detail['first_mismatch_row'] = first
         return False, detail
     ok = bool(detail.get('rect_columns_agreement', 0) == 1.0)
-    for col, atol in (('POSITION_X', 1e-3), ('POSITION_Y', 1e-3)):
+    for col, atol in (('POSITION_X', 1e-9), ('POSITION_Y', 1e-9)):
         diff = np.abs(our_df[col].to_numpy(dtype=float) -
                       ref[col].to_numpy(dtype=float))
         detail['max_abs_diff_{}'.format(col)] = float(diff.max())

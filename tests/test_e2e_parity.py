@@ -136,11 +136,11 @@ def _compare(ours, ref):
     assert ldf_o.shape[0] == ldf_r.shape[0], 'raw row count differs'
     assert ldf_o['TRACK_ID'].tolist() == ldf_r['TRACK_ID'].tolist()
     assert ldf_o['POSITION_T'].tolist() == ldf_r['POSITION_T'].tolist()
-    # positions are GSFF output: reference float64 filter vs our
-    # double-single f32 filter — measured residual ~6e-5 px with the host
-    # cv2-exact rect measurements (native/cv2_exact.cpp)
-    np.testing.assert_allclose(ldf_o['POSITION_X'], ldf_r['POSITION_X'], atol=5e-4)
-    np.testing.assert_allclose(ldf_o['POSITION_Y'], ldf_r['POSITION_Y'], atol=5e-4)
+    # positions are GSFF output: the float64 host tracker
+    # (native/tracker64.cpp) reproduces the reference's filter arithmetic —
+    # measured residual ~2e-13 px (reference-side CSV parse noise)
+    np.testing.assert_allclose(ldf_o['POSITION_X'], ldf_r['POSITION_X'], atol=1e-9)
+    np.testing.assert_allclose(ldf_o['POSITION_Y'], ldf_r['POSITION_Y'], atol=1e-9)
     # measurements are cv2-bit-exact in host-rect mode; the 1e-12 slack only
     # absorbs the reference-side CSV round trip (pandas' default float parser
     # is not round-trip exact — ~1 f64 ulp on ~1 % of values)
@@ -251,9 +251,9 @@ def test_e2e_parity_dark_bacteria(tmp_path):
     assert ldf_o['TRACK_ID'].tolist() == ldf_r['TRACK_ID'].tolist()
     assert ldf_o['POSITION_T'].tolist() == ldf_r['POSITION_T'].tolist()
     np.testing.assert_allclose(ldf_o['POSITION_X'], ldf_r['POSITION_X'],
-                               atol=5e-4)
+                               atol=1e-9)
     np.testing.assert_allclose(ldf_o['POSITION_Y'], ldf_r['POSITION_Y'],
-                               atol=5e-4)
+                               atol=1e-9)
     np.testing.assert_allclose(ldf_o['WIDTH'], ldf_r['WIDTH'], atol=1e-12)
     np.testing.assert_allclose(ldf_o['HEIGHT'], ldf_r['HEIGHT'], atol=1e-12)
     np.testing.assert_allclose(ldf_o['DEGREES_ANGLE'], ldf_r['DEGREES_ANGLE'],

@@ -79,9 +79,9 @@ def test_bucket_upgrade_matches_reference(tmp_path):
     assert ldf_o['TRACK_ID'].tolist() == ldf_r['TRACK_ID'].tolist()
     assert ldf_o['POSITION_T'].tolist() == ldf_r['POSITION_T'].tolist()
     np.testing.assert_allclose(ldf_o['POSITION_X'], ldf_r['POSITION_X'],
-                               atol=5e-4)
+                               atol=1e-9)
     np.testing.assert_allclose(ldf_o['POSITION_Y'], ldf_r['POSITION_Y'],
-                               atol=5e-4)
+                               atol=1e-9)
     for col in ('WIDTH', 'HEIGHT', 'DEGREES_ANGLE'):
         np.testing.assert_allclose(ldf_o[col], ldf_r[col], atol=1e-12,
                                    err_msg=col)

@@ -82,6 +82,29 @@ def _load():
         lib.cv2_min_area_rect_single.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        lib.tracker64_create.restype = ctypes.c_void_p
+        lib.tracker64_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double]
+        lib.tracker64_destroy.restype = None
+        lib.tracker64_destroy.argtypes = [ctypes.c_void_p]
+        lib.tracker64_update_batch.restype = ctypes.c_int64
+        lib.tracker64_update_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long, ctypes.c_long, ctypes.c_int64]
+        lib.tracker64_fetch.restype = ctypes.c_int64
+        lib.tracker64_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.tracker64_next_id.restype = ctypes.c_int64
+        lib.tracker64_next_id.argtypes = [ctypes.c_void_p]
+        lib.tracker64_live_count.restype = ctypes.c_int64
+        lib.tracker64_live_count.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except (OSError, AttributeError):
         # missing library, or a stale .so lacking a required symbol: fall
@@ -336,6 +359,96 @@ def cv2_rects_batch(px_packed, counts, det_idx, w, max_det):
     if rc != 0:
         return None
     return out, valid.astype(bool)
+
+
+class Tracker64:
+    """Float64 host tracker (native/tracker64.cpp): the reference's
+    CentroidTracker + GSFF arithmetic semantics, fed with detection rects a
+    batch at a time, emitting the finished result rows directly on the host.
+
+    :param dims: 2 or 3 (with luminosity)
+    :param gsff_params: ops.gsff.GSFFParams or None to disable the filter
+    """
+
+    def __init__(self, dims, max_disappeared, gsff_params=None,
+                 likelihood_minimum=1e-20):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError('native library unavailable')
+        self._lib = lib
+        self.dims = dims
+        self.use_gsff = gsff_params is not None
+        if self.use_gsff:
+            n_i = np.asarray(gsff_params.n_i, np.int32)
+            gains = np.ascontiguousarray(gsff_params.gains_f64, np.float64)
+            self._h = lib.tracker64_create(
+                int(dims), 1, float(max_disappeared), int(gsff_params.n_f),
+                n_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                int(gsff_params.n_max),
+                gains.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                float(likelihood_minimum))
+        else:
+            self._h = lib.tracker64_create(
+                int(dims), 0, float(max_disappeared), 0, None, 0, None,
+                float(likelihood_minimum))
+
+    def update_batch(self, rects, valid, frame0, lum=None):
+        """Track T frames of detections; returns the emitted rows as column
+        arrays sorted by (frame, id).
+
+        :param rects: (T, D, 5) float32 [cx, cy, w, h, angle]
+        :param valid: (T, D) bool/uint8
+        :param frame0: absolute frame number of rects[0]
+        :param lum: optional (T, D) float32 ILLUMINATION per detection
+        """
+        lib = self._lib
+        r = np.ascontiguousarray(rects, np.float32)
+        v = np.ascontiguousarray(valid, np.uint8)
+        t, d = v.shape
+        lp = None
+        if lum is not None:
+            lum = np.ascontiguousarray(lum, np.float32)
+            lp = lum.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        n = lib.tracker64_update_batch(
+            self._h, r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), lp,
+            t, d, int(frame0))
+        ids = np.empty(n, np.int64)
+        frames = np.empty(n, np.int64)
+        xs = np.empty(n, np.float64)
+        ys = np.empty(n, np.float64)
+        lums = np.empty(n, np.float64) if self.dims == 3 else None
+        ws = np.empty(n, np.float64)
+        hs = np.empty(n, np.float64)
+        degs = np.empty(n, np.float64)
+        lib.tracker64_fetch(
+            self._h, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ys.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lums.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            if lums is not None else None,
+            ws.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            hs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            degs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        order = np.lexsort((ids, frames))
+        out = {'TRACK_ID': ids[order], 'POSITION_T': frames[order],
+               'POSITION_X': xs[order], 'POSITION_Y': ys[order],
+               'WIDTH': ws[order], 'HEIGHT': hs[order],
+               'DEGREES_ANGLE': degs[order]}
+        if lums is not None:
+            out['ILLUMINATION'] = lums[order]
+        return out
+
+    @property
+    def next_id(self):
+        return int(self._lib.tracker64_next_id(self._h))
+
+    def __del__(self):
+        try:
+            self._lib.tracker64_destroy(self._h)
+        except Exception:
+            pass
 
 
 def cv2_min_area_rect_single(pts_xy):

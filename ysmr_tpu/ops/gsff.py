@@ -109,6 +109,9 @@ class GSFFParams:
                 continue
             g = compute_lsf_gain(n, delta_t)
             gains[i, :, 2 * (self.n_max - n):] = g[:2]
+        #: float64 right-aligned gains, consumed directly by the native f64
+        #: host tracker (native/tracker64.cpp)
+        self.gains_f64 = gains
         # double-single representation: stacked (hi, lo) f32 pair carrying
         # the full float64 coefficients (lo = residual after f32 rounding)
         g_hi = gains.astype(np.float32)

@@ -144,6 +144,15 @@ def _compact_emissions(emissions, batch_start, frame_offset_valid):
     return out
 
 
+def _flight_rows(flight):
+    """Finished column arrays of an in-flight batch: host-tracker flights
+    already carry them; device flights compact the padded emissions."""
+    em = flight[0]
+    if isinstance(em, dict) and 'TRACK_ID' in em:
+        return em if len(em['TRACK_ID']) else None
+    return _compact_emissions(*flight[:3])
+
+
 def track_bacteria(video_path, settings=None, result_folder=None):
     """Detect and track bright spots in a video file, save to _list.csv.
 
@@ -293,6 +302,24 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         fps=fps_of_file, offset=config.offset,
         white_on_dark=config.white_on_dark) if config.mode == 'mean' else None
 
+    # float64 host tracker (native/tracker64.cpp): in host-rect mode the
+    # tracker itself also runs on the host, in the reference's float64
+    # arithmetic — TRACK_ID numbering and filtered positions become
+    # reference-identical (the device filter bank's double-single f32
+    # residual can flip near-tie greedy matches at GSFF mode transitions),
+    # and the emissions readback disappears entirely. The device tracker
+    # remains for frames mode, luminosity+GSFF (a combination the
+    # reference's float64 tracker cannot run at all), dense scenes, and the
+    # sharded multi-video path.
+    native_tracker = None
+    if use_host_rects and not (config.include_luminosity and use_gsff):
+        try:
+            native_tracker = native_mod.Tracker64(
+                dims=dims, max_disappeared=float(fps_of_file),
+                gsff_params=params if use_gsff else None)
+        except RuntimeError:
+            native_tracker = None
+
     import time
     profiler_dir = settings.get('jax profiler dir') or ''
 
@@ -389,9 +416,20 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         rects, rvalid = native_mod.cv2_rects_batch(
             packed, counts, det_px, frame_width, trk_d)
         rects = np.where(rvalid[..., None], rects, np.float32(0))
+        lum_np = None
         if config.include_luminosity:
-            det_xy = _det_xy_with_rect_lum(pending['gray_dev'], rects,
-                                           rvalid, config.lum_win)
+            det_xy_dev = _det_xy_with_rect_lum(pending['gray_dev'], rects,
+                                               rvalid, config.lum_win)
+            if native_tracker is not None:
+                lum_np = np.asarray(det_xy_dev)[:, :, 2]
+        if native_tracker is not None:
+            t_count = int(fv.sum())
+            out = native_tracker.update_batch(
+                rects[:t_count], rvalid[:t_count], frame0=pending['start'],
+                lum=lum_np[:t_count] if lum_np is not None else None)
+            return (out, pending['start'], fv, pending['n_components'], None)
+        if config.include_luminosity:
+            det_xy = det_xy_dev
         else:
             det_xy = np.ascontiguousarray(rects[:, :, :2])
         new_state, emissions = trk.run_tracker_scan(
@@ -531,7 +569,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                         error_during_read = True
                         break
                     check_overflow(in_flight[3], in_flight[2])
-                    out = _compact_emissions(*in_flight[:3])
+                    out = _flight_rows(in_flight)
                     if out is not None:
                         pending.append(out)
                         if all_parts is not None:
@@ -555,7 +593,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         # then track the final detected batch
         if in_flight is not None:
             check_overflow(in_flight[3], in_flight[2])
-            out = _compact_emissions(*in_flight[:3])
+            out = _flight_rows(in_flight)
             if out is not None:
                 pending.append(out)
                 if all_parts is not None:
@@ -568,7 +606,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             error_during_read = True
     if in_flight is not None and not error_during_read:
         check_overflow(in_flight[3], in_flight[2])
-        out = _compact_emissions(*in_flight[:3])
+        out = _flight_rows(in_flight)
         if out is not None:
             pending.append(out)
             if all_parts is not None:
@@ -583,7 +621,10 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             "Raise 'max foreground pixels per frame' in [TPU SETTINGS].",
             preprocess.overflowed, preprocess.max_fg)
 
-    dropped = int(np.asarray(state['dropped_registrations']))
+    # the float64 host tracker has no slot cap (tracks are unbounded, as in
+    # the reference), so nothing can be dropped there
+    dropped = 0 if native_tracker is not None else \
+        int(np.asarray(state['dropped_registrations']))
     if dropped:
         logger.warning('%s registrations dropped (track slot capacity %s '
                        "reached); raise 'max track slots' in [TPU SETTINGS].",
@@ -598,7 +639,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             logger.error('Error restoring %s: %r', list_name,
                          file_removal_error.args)
 
-    last_object_id = int(np.asarray(state['next_id'])) - 1
+    last_object_id = (native_tracker.next_id if native_tracker is not None
+                      else int(np.asarray(state['next_id']))) - 1
     if last_object_id < 0:
         stop_profiler()
         logger.warning('Did not track any objects. File: %s', video_path)
