@@ -178,6 +178,58 @@ void gsff_correct(const Tracker64& t, GsffState& g, const double m[2],
     }
 }
 
+// Iteration order of CPython's `set(range(n)).difference(used_cols)`
+// (tracker.py:215-217): the reference registers new objects in the
+// ITERATION ORDER OF A SET OF SMALL INTS, which is hash-table slot order —
+// NOT ascending once indices wrap the table size.  `set(range(n))` itself
+// iterates ascending (after the final resize every element sits at its own
+// home slot), so difference() inserts the unmatched columns in ascending
+// order into a fresh set; this function replicates CPython's setobject.c
+// insertion (LINEAR_PROBES=9 probing, perturb>>=5 jumps, growth at
+// fill*5 >= mask*3 to the next power of two > used*4 with clean
+// re-insertion in old slot order) and reads the table back in slot order.
+// hash(int) == value for the non-negative ints used here.
+static std::vector<int64_t> cpython_set_order(
+        const std::vector<int64_t>& ascending) {
+    const size_t LINEAR_PROBES = 9;
+    std::vector<int64_t> table(8, -1);
+    size_t mask = 7;
+    size_t fill = 0;
+
+    auto insert_clean = [&](int64_t h) {
+        size_t perturb = (size_t)h;
+        size_t i = (size_t)h & mask;
+        while (true) {
+            if (table[i] < 0) { table[i] = h; return; }
+            if (i + LINEAR_PROBES <= mask) {
+                for (size_t j = 1; j <= LINEAR_PROBES; ++j)
+                    if (table[i + j] < 0) { table[i + j] = h; return; }
+            }
+            perturb >>= 5;
+            i = (i * 5 + 1 + perturb) & mask;
+        }
+    };
+    for (int64_t h : ascending) {
+        insert_clean(h);
+        ++fill;
+        if (fill * 5 >= mask * 3) {
+            const size_t minused = fill > 50000 ? fill * 2 : fill * 4;
+            size_t newsize = 8;
+            while (newsize <= minused) newsize <<= 1;
+            std::vector<int64_t> old = std::move(table);
+            table.assign(newsize, -1);
+            mask = newsize - 1;
+            for (int64_t v : old)
+                if (v >= 0) insert_clean(v);
+        }
+    }
+    std::vector<int64_t> out;
+    out.reserve(fill);
+    for (int64_t v : table)
+        if (v >= 0) out.push_back(v);
+    return out;
+}
+
 void register_track(Tracker64& t, const double* centroid,
                     const double* info) {
     Track tr;
@@ -284,10 +336,12 @@ void update_frame(Tracker64& t, int64_t frame, const float* rects,
                     ++i;
             }
         } else {
+            std::vector<int64_t> unmatched;
             for (long c = 0; c < n_det; ++c)
-                if (!t.col_used[(size_t)c])
-                    register_track(t, det.data() + (size_t)c * t.dims,
-                                   dinfo.data() + (size_t)c * 3);
+                if (!t.col_used[(size_t)c]) unmatched.push_back(c);
+            for (int64_t c : cpython_set_order(unmatched))
+                register_track(t, det.data() + (size_t)c * t.dims,
+                               dinfo.data() + (size_t)c * 3);
         }
     }
 
@@ -375,6 +429,13 @@ int64_t tracker64_fetch(void* h, int64_t* out_id, int64_t* out_frame,
 }
 
 int64_t tracker64_next_id(void* h) { return ((Tracker64*)h)->next_id; }
+
+// test hook: CPython set iteration order for ascending non-negative ints
+void cpython_set_order_probe(const int64_t* in, int64_t n, int64_t* out) {
+    std::vector<int64_t> v(in, in + n);
+    std::vector<int64_t> res = cpython_set_order(v);
+    for (int64_t i = 0; i < n; ++i) out[i] = res[(size_t)i];
+}
 
 int64_t tracker64_live_count(void* h) {
     return (int64_t)((Tracker64*)h)->tracks.size();

@@ -179,3 +179,70 @@ def test_luminosity_dims3_no_gsff():
                                atol=0, rtol=0)
     np.testing.assert_allclose(out['ILLUMINATION'], [r[4] for r in rows],
                                atol=0, rtol=0)
+
+
+def test_cpython_set_order_replication():
+    """The reference registers new objects in the iteration order of
+    ``set(range(n)).difference(used_cols)`` — CPython hash-slot order, not
+    ascending. The native replication must match CPython exactly."""
+    import ctypes
+
+    from ysmr_tpu import native
+    if not native.available():
+        pytest.skip('native library not built')
+    lib = native._load()
+    lib.cpython_set_order_probe.restype = None
+    lib.cpython_set_order_probe.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    rng = np.random.default_rng(123)
+    for _ in range(2000):
+        n_cols = int(rng.integers(1, 600))
+        k = int(rng.integers(1, min(n_cols, 80) + 1))
+        cand = np.sort(rng.choice(n_cols, size=k, replace=False)).astype(np.int64)
+        used = set(range(n_cols)) - set(int(x) for x in cand)
+        expect = list(set(range(n_cols)).difference(used))
+        out = np.empty(k, np.int64)
+        lib.cpython_set_order_probe(
+            cand.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        assert list(out) == expect, (n_cols, cand.tolist())
+
+
+def test_registration_burst_order_matches_reference():
+    """Many existing tracks plus bursts of new detections at high column
+    indices: registration order must follow the reference's set-iteration
+    order (ids depend on it once unmatched column indices exceed the hash
+    table size)."""
+    rng = np.random.default_rng(21)
+    n_frames, max_det = 60, 160
+    pos = rng.uniform(20, 1000, (max_det, 2))
+    vel = rng.uniform(-1.0, 1.0, (max_det, 2))
+    frames = []
+    for t in range(n_frames):
+        rects = np.zeros((max_det, 5), np.float32)
+        valid = np.zeros((max_det,), bool)
+        # population grows in bursts of ~25 every 10 frames
+        n_vis = min(40 + 25 * (t // 10), max_det)
+        k = 0
+        for i in range(n_vis):
+            if (t + i) % 11 == 0:
+                continue  # churn: holes force unmatched rows/cols
+            p = pos[i] + vel[i] * t
+            rects[k] = [np.float32(p[0]), np.float32(p[1]),
+                        np.float32(4.0), np.float32(2.0), np.float32(-90.0)]
+            valid[k] = True
+            k += 1
+        frames.append((rects, valid, np.zeros(max_det, np.float32)))
+    ref = _reference_tracker(30.0, True)
+    nat = _native_tracker(30.0, True)
+    ref_rows = _run_reference(ref, frames)
+    rects = np.stack([f[0] for f in frames])
+    valid = np.stack([f[1] for f in frames])
+    out = nat.update_batch(rects, valid, frame0=0)
+    assert len(ref_rows) == len(out['TRACK_ID'])
+    assert [int(i) for i in out['TRACK_ID']] == [r[1] for r in ref_rows]
+    np.testing.assert_allclose(out['POSITION_X'], [r[2] for r in ref_rows],
+                               atol=1e-9, rtol=0)
+    np.testing.assert_allclose(out['POSITION_Y'], [r[3] for r in ref_rows],
+                               atol=1e-9, rtol=0)

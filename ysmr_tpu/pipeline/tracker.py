@@ -101,6 +101,12 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
     active_new = active & ~dereg
 
     # registration: unmatched detections when cols > rows (tracker.py:215-217)
+    # in ASCENDING column order. The reference iterates a CPython set here,
+    # whose slot order deviates from ascending once unmatched indices wrap
+    # the hash table — the float64 host tracker (native/tracker64.cpp,
+    # cpython_set_order) replicates that exactly; this device scan keeps the
+    # deterministic ascending order (a documented id-numbering deviation of
+    # the non-host-rect modes).
     do_register = has_det & (n_det > n_obj)
     unmatched_col = det_valid & ~col_matched & do_register
     col_rank = jnp.cumsum(unmatched_col.astype(jnp.int32)) - 1
