@@ -73,19 +73,19 @@ def bench_settings(extra=None):
     return settings
 
 
-def make_clip(path, n_frames, seed=SEED):
+def make_clip(path, n_frames, seed=SEED, n_bugs=N_BUGS):
     import cv2
     rng = np.random.default_rng(seed)
-    pos = rng.uniform(30, [W - 30, H - 30], (N_BUGS, 2))
-    vel = rng.uniform(-2.0, 2.0, (N_BUGS, 2))
-    vel[:N_BUGS // 3] = 0.0
-    ang = rng.uniform(0, 180, N_BUGS)
+    pos = rng.uniform(30, [W - 30, H - 30], (n_bugs, 2))
+    vel = rng.uniform(-2.0, 2.0, (n_bugs, 2))
+    vel[:n_bugs // 3] = 0.0
+    ang = rng.uniform(0, 180, n_bugs)
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), FPS, (W, H))
     assert writer.isOpened()
     base_noise = rng.normal(40, 4, (4, H, W)).clip(0, 255).astype(np.uint8)
     for t in range(n_frames):
         frame = base_noise[t % 4].copy()
-        for i in range(N_BUGS):
+        for i in range(n_bugs):
             p = pos[i] + vel[i] * t
             cv2.ellipse(frame, (int(round(p[0] % W)), int(round(p[1] % H))),
                         (4, 2), float(ang[i] + 2 * t * (i % 3)), 0, 360, 200, -1)
@@ -378,6 +378,90 @@ def measure_dense(n_obj=16000):
     return int(n_comp[0]), round(best, 2)
 
 
+DENSE_CLIP_BUGS = 3000
+DENSE_CLIP_FRAMES = 150
+
+
+def measure_dense_e2e(reps=3):
+    """End-to-end dense-scene comparison on the SAME clip for both sides.
+
+    The synthetic ``measure_dense`` number is device-only; this one runs the
+    full ``track_bacteria`` stage (decode -> preproc -> device detect+track
+    -> CSV) on a ~3000-rod 1228x922 clip for us AND for the reference
+    (cached one-time — its per-contour loop, O(n^2) float64 cdist, and
+    per-object Python GSFF make it minutes at this density). This is the
+    axis where the device design pays: host wire + batched device labeling
+    scale linearly while the reference's frame loop scales quadratically.
+    Host-rect mode auto-disables above 1024 detections/frame, so ours runs
+    the device tracker here (documented registration-order deviation).
+    """
+    dense_clip = os.path.join(CACHE_DIR, 'dense_clip.avi')
+    if not os.path.isfile(dense_clip):
+        make_clip(dense_clip, DENSE_CLIP_FRAMES, seed=SEED + 2,
+                  n_bugs=DENSE_CLIP_BUGS)
+    base_file = os.path.join(CACHE_DIR, 'reference_dense_baseline.json')
+    ref = None
+    if os.path.isfile(base_file):
+        try:
+            ref = json.load(open(base_file))
+        except Exception:
+            ref = None
+    if ref is None and os.path.isdir('/root/reference'):
+        folder = os.path.join(CACHE_DIR, 'ref_results_dense')
+        os.makedirs(folder, exist_ok=True)
+        if '/root/reference' not in sys.path:
+            sys.path.insert(0, '/root/reference')
+        from ysmr.track_eval import track_bacteria as ref_track
+        settings = bench_settings({'minimal frame count': 32})
+        t0 = time.perf_counter()
+        res = ref_track(dense_clip, settings=settings, result_folder=folder)
+        dt = time.perf_counter() - t0
+        assert res is not None, 'reference dense run failed'
+        ref = {'reference_fps': round(DENSE_CLIP_FRAMES / dt, 3),
+               'reference_tracks': int(res[0]['TRACK_ID'].nunique()),
+               'reference_rows': int(res[0].shape[0])}
+        json.dump(ref, open(base_file, 'w'))
+
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    folder = os.path.join(CACHE_DIR, 'our_results_dense')
+    os.makedirs(folder, exist_ok=True)
+    settings = bench_settings({
+        'minimal frame count': 32,
+        'max detections per frame': 8192,
+        'max track slots': 16384,
+        'max bounding box height': 64,
+        'max foreground pixels per frame': 131072,
+        'frame batch size': 16,
+    })
+    res = track_bacteria(dense_clip, settings=settings,
+                         result_folder=folder)  # compile warmup, untimed
+    assert res is not None, 'dense e2e warmup failed'
+    runs = []
+    tracks = rows = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = track_bacteria(dense_clip, settings=settings,
+                             result_folder=folder)
+        elapsed = time.perf_counter() - t0
+        assert res is not None, 'dense e2e run failed'
+        runs.append(DENSE_CLIP_FRAMES / elapsed)
+        tracks = int(res[0]['TRACK_ID'].nunique())
+        rows = int(res[0].shape[0])
+    value = round(float(np.median(runs)), 2)
+    out = {
+        'value': value,
+        'value_min': round(min(runs), 2),
+        'value_max': round(max(runs), 2),
+        'objects_per_frame': round(rows / DENSE_CLIP_FRAMES, 1),
+        'tracks': tracks,
+    }
+    if ref:
+        out['reference_fps'] = ref['reference_fps']
+        out['reference_tracks'] = ref.get('reference_tracks')
+        out['vs_baseline'] = round(value / ref['reference_fps'], 2)
+    return out
+
+
 def measure_dense_host_stages(n_obj, n_frames=630):
     """Wall time of the host pandas selection/evaluation stages at dense
     scale: the dense detect+track number alone says nothing about whether
@@ -549,6 +633,13 @@ def main():
         print('dense measurement failed: {}'.format(exc), file=sys.stderr)
         dense_objects = dense_fps = None
 
+    # dense e2e on a real clip, both sides (reference cached one-time)
+    try:
+        dense_e2e = measure_dense_e2e()
+    except Exception as exc:
+        print('dense e2e measurement failed: {}'.format(exc), file=sys.stderr)
+        dense_e2e = None
+
     value = ours['median']
     vs_baseline = (value / ref_fps) if ref_fps else None
     print(json.dumps({
@@ -569,6 +660,7 @@ def main():
             round(fast['median'] / ref_fps, 2) if (fast and ref_fps) else None,
         'dense_scene_objects_per_frame': dense_objects,
         'dense_scene_fps': dense_fps,
+        'dense_e2e': dense_e2e,
         'track_count': ours_tracks,
         'identical_track_count_vs_reference':
             (ours_tracks == ref_tracks) if ref_tracks else None,

@@ -135,3 +135,36 @@ def test_opt_out_flag_uses_device_rects(tmp_path):
                                out[False]['POSITION_X'], atol=0.1)
     np.testing.assert_allclose(out[True]['POSITION_Y'],
                                out[False]['POSITION_Y'], atol=0.1)
+
+
+def test_capacity_gate_disables_host_rects(tmp_path, monkeypatch):
+    """Dense-scene capacities auto-disable host-rect mode: the host
+    tracker's serial float64 cdist is O(slots x dets) and the per-detection
+    contour trace runs on the single host core, so above 1024
+    detections/frame the device tracker keeps the frame budget
+    (track_bacteria.py capacity gate)."""
+    from ysmr_tpu import native as native_mod
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    from tests.test_e2e_parity import make_synthetic_video
+    if not native_mod.available():
+        pytest.skip('native library not built')
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=30)
+    calls = {'n': 0}
+    real = native_mod.cv2_rects_batch
+
+    def counting(*args, **kwargs):
+        calls['n'] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(native_mod, 'cv2_rects_batch', counting)
+    for max_det, expect_host in ((512, True), (2048, False)):
+        calls['n'] = 0
+        d = str(tmp_path / 'gate{}'.format(max_det))
+        os.makedirs(d)
+        settings = _make_settings(tmp_path, **{
+            'max detections per frame': max_det,
+            'max track slots': 4096,
+        })
+        res = track_bacteria(video, settings=dict(settings), result_folder=d)
+        assert res is not None
+        assert (calls['n'] > 0) == expect_host

@@ -274,7 +274,13 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     # ~3e-4 px f32 caliper noise delta vs the reference — the piece that
     # blocks exact TRACK_ID numbering parity (reference track_eval.py:287).
     use_host_rects = False
+    # auto-gate on capacity: the host tracker's cdist is O(slots x dets) in
+    # serial float64 and the per-detection contour trace runs on the single
+    # host core — at dense-scene capacities (>1024 detections/frame) that
+    # would dominate the frame budget, so dense scenes keep the device
+    # tracker (documented deviation: ascending registration order)
     if transfer_mode == 'pixels' and display is None and \
+            config.max_det <= 1024 and \
             bool(settings.get('cv2 exact rects', True)):
         from ysmr_tpu import native as native_mod
         use_host_rects = native_mod.available()
@@ -405,6 +411,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         tracker scan on the corrected measurements; returns the flight tuple
         for the delayed emissions readback."""
         nonlocal state, trk_d
+        t_a = time.perf_counter()
         det_px = np.asarray(pending['det_px'])
         n_comp = np.asarray(pending['n_components'])
         fv = pending['frame_valid']
@@ -413,8 +420,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             trk_d = config.max_det  # one recompile of the scan, then stable
         packed = np.ascontiguousarray(pending['packed'][:, :det_px.shape[1]])
         counts = np.where(fv, pending['counts'], 0).astype(np.int32)
+        t_b = time.perf_counter()
         rects, rvalid = native_mod.cv2_rects_batch(
             packed, counts, det_px, frame_width, trk_d)
+        t_c = time.perf_counter()
+        stage_t['det_readback'] += t_b - t_a
+        stage_t['rects'] += t_c - t_b
         rects = np.where(rvalid[..., None], rects, np.float32(0))
         lum_np = None
         if config.include_luminosity:
@@ -427,6 +438,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             out = native_tracker.update_batch(
                 rects[:t_count], rvalid[:t_count], frame0=pending['start'],
                 lum=lum_np[:t_count] if lum_np is not None else None)
+            stage_t['tracker'] += time.perf_counter() - t_c
             return (out, pending['start'], fv, pending['n_components'], None)
         if config.include_luminosity:
             det_xy = det_xy_dev
@@ -488,7 +500,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         pending = []
         pending_rows = 0
 
-    stage_t = {'wait_batch': 0.0, 'dispatch': 0.0, 'readback': 0.0, 'csv': 0.0}
+    stage_t = {'wait_batch': 0.0, 'dispatch': 0.0, 'readback': 0.0,
+               'csv': 0.0, 'det_readback': 0.0, 'rects': 0.0, 'tracker': 0.0}
     try:
         batches = iter(reader)
         while True:
@@ -658,11 +671,18 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     stop_profiler()
     analysis_fps = frames_processed / elapsed if elapsed > 0 else float('inf')
     if (settings['verbose'] or settings.get('profile stages')) and frames_processed:
+        extra = ''
+        if stage_t['rects'] or stage_t['tracker']:
+            # the host-rect sub-stages are inside the dispatch bucket
+            extra = (' [det_readback %.2f, rects %.2f, tracker %.2f]' % (
+                stage_t['det_readback'] / frames_processed * 1e3,
+                stage_t['rects'] / frames_processed * 1e3,
+                stage_t['tracker'] / frames_processed * 1e3))
         logger.info(
-            'Per-frame stage times: wait_batch %.2f ms, dispatch %.2f ms, '
+            'Per-frame stage times: wait_batch %.2f ms, dispatch %.2f ms%s, '
             'readback %.2f ms, csv %.2f ms (of %.2f ms total)',
             stage_t['wait_batch'] / frames_processed * 1e3,
-            stage_t['dispatch'] / frames_processed * 1e3,
+            stage_t['dispatch'] / frames_processed * 1e3, extra,
             stage_t['readback'] / frames_processed * 1e3,
             stage_t['csv'] / frames_processed * 1e3,
             elapsed / frames_processed * 1e3)
