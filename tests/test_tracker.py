@@ -160,3 +160,65 @@ def test_parity_gsff_with_disappearance(rng):
     ours = _run_ours(frames, fps=fps, use_gsff=True)
     ref = _run_reference(frames, fps=fps, use_gsff=True)
     _assert_rows_match(ours, ref, tol=5e-3)
+
+
+def test_compact_emissions_device_roundtrip():
+    """Single-buffer emissions compaction (compact_emissions_device): live
+    slots packed to the front in slot order, counts/n_components in the
+    int32 head row, float payloads bit-exact through the int32 bitcast
+    (small ids bitcast to f32 would be denormals, which XLA data movement
+    may flush to zero — the buffer is int32 for exactly that reason)."""
+    import jax.numpy as jnp
+    from ysmr_tpu.pipeline import tracker as trk
+    from ysmr_tpu.pipeline.track_bacteria import (_compact_emissions,
+                                                  _flight_rows)
+    rng = np.random.default_rng(7)
+    for dims in (2, 3):
+        t_len, s = 5, 256
+        em = {
+            'mask': jnp.asarray(rng.random((t_len, s)) < 0.3),
+            'ids': jnp.asarray(
+                rng.integers(0, 10000, (t_len, s), dtype=np.int32)),
+            'pos': jnp.asarray(
+                rng.normal(size=(t_len, s, dims)).astype(np.float32)),
+            'info': jnp.asarray(
+                rng.normal(size=(t_len, s, 3)).astype(np.float32)),
+        }
+        ncomp = jnp.asarray(rng.integers(0, 99, (t_len,), dtype=np.int32))
+        fv = np.ones(t_len, bool)
+        fv[-1] = False
+        ref_rows = _compact_emissions(em, 10, fv)
+        # bucket 32 forces the overflow fallback to the padded arrays
+        for bucket in (128, 32):
+            packed = trk.compact_emissions_device(em, ncomp, bucket=bucket)
+            pnp = np.asarray(packed)
+            assert (pnp[:, 0, 0] == np.asarray(em['mask']).sum(1)).all()
+            assert (pnp[:, 0, 1] == np.asarray(ncomp)).all()
+            rows = _flight_rows(
+                ({'packed': packed, 'k': dims, 'padded': em}, 10, fv,
+                 None, None))
+            for key in ref_rows:
+                assert np.array_equal(ref_rows[key], rows[key]), (
+                    dims, bucket, key)
+
+
+def test_compact_readback_setting_same_rows(tmp_path):
+    """'compact emissions readback' produces the identical _list.csv rows
+    as the padded readback (device-tracker path)."""
+    import os
+    import pandas as pd
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    from tests.test_e2e_parity import make_synthetic_video, _make_settings
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=45)
+    out = {}
+    for flag in (False, True):
+        d = str(tmp_path / 'cr{}'.format(flag))
+        os.makedirs(d)
+        s = _make_settings(tmp_path, **{
+            'cv2 exact rects': False,
+            'compact emissions readback': flag,
+        })
+        res = track_bacteria(video, settings=dict(s), result_folder=d)
+        assert res is not None
+        out[flag] = res[0]
+    pd.testing.assert_frame_equal(out[False], out[True])

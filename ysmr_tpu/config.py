@@ -72,6 +72,13 @@ _TPU_DEFAULTS = {
     # in pixels transfer mode when the native library is built; the device
     # path is used otherwise.
     'cv2 exact rects': True,
+    # pack live tracker emissions into one buffer on device before readback
+    # (tracker.compact_emissions_device). Pays on links where the
+    # device-to-host direction is contended; on a full-duplex link the
+    # async padded readback rides the free d2h direction and this only
+    # adds bucket warm-up (measured: 29 -> 23 fps on the dense clip), so
+    # the default is off.
+    'compact emissions readback': False,
     # log per-frame wait/dispatch/readback stage times at the end of a run
     'profile stages': False,
     # write a jax.profiler trace (tensorboard format) of each tracking run
@@ -547,6 +554,8 @@ def get_configs(tracking_ini_filepath=None):
             'max bounding box height': tpu_int('max bounding box height'),
             'luminosity window size': tpu_int('luminosity window size'),
             'cv2 exact rects': tpu_bool('cv2 exact rects'),
+            'compact emissions readback':
+                tpu_bool('compact emissions readback'),
             'profile stages': tpu_bool('profile stages'),
             'jax profiler dir': str(tpu.get(
                 'jax profiler dir',

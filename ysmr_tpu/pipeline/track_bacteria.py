@@ -32,6 +32,17 @@ from ysmr_tpu.utils.logging_utils import get_loggers
 
 _H2D_BANDWIDTH = None
 
+#: benchmark hook: force the padded (multi-array) emissions readback so the
+#: single-buffer device compaction can be A/B-timed in one process (the
+#: tunnel's throughput swings make sequential comparisons meaningless).
+#: Measured on the axon tunnel (interleaved A/B, dense clip): padded 28.9
+#: fps vs compacted 23.0 — the link is full-duplex, so the async padded
+#: readback streams in the free d2h direction while the host block is
+#: really device compute; compaction pays bucket-warmup fallbacks for
+#: nothing. Hence 'compact emissions readback' defaults to False and is a
+#: knob for genuinely d2h-constrained links (e.g. a shared PCIe host).
+_FORCE_PADDED_READBACK = False
+
 _SLICE_JITS = {}
 
 
@@ -144,12 +155,36 @@ def _compact_emissions(emissions, batch_start, frame_offset_valid):
     return out
 
 
+def _host_rows_from_packed(packed, counts, k, batch_start,
+                           frame_offset_valid):
+    """Rows from the single-buffer device compaction
+    (tracker.compact_emissions_device): the first ``counts[t]`` payload
+    entries of each frame are the live slots in slot order."""
+    b = packed.shape[1] - 1
+    ids = packed[:, 1:, 0]
+    pos = np.ascontiguousarray(packed[:, 1:, 1:1 + k]).view(np.float32)
+    info = np.ascontiguousarray(packed[:, 1:, 1 + k:4 + k]).view(np.float32)
+    mask = np.arange(b, dtype=np.int32)[None, :] < counts[:, None]
+    return _compact_emissions(
+        {'mask': mask, 'ids': ids, 'pos': pos, 'info': info},
+        batch_start, frame_offset_valid)
+
+
 def _flight_rows(flight):
     """Finished column arrays of an in-flight batch: host-tracker flights
     already carry them; device flights compact the padded emissions."""
     em = flight[0]
     if isinstance(em, dict) and 'TRACK_ID' in em:
         return em if len(em['TRACK_ID']) else None
+    if isinstance(em, dict) and 'packed' in em:
+        packed = np.asarray(em['packed'])
+        counts = packed[:, 0, 0]
+        if int(counts.max(initial=0)) > packed.shape[1] - 1:
+            # bucket overflow (once per upgrade): the padded arrays were
+            # kept on device for exactly this batch
+            return _compact_emissions(em['padded'], *flight[1:3])
+        return _host_rows_from_packed(packed, counts, em['k'],
+                                      flight[1], flight[2])
     return _compact_emissions(*flight[:3])
 
 
@@ -439,7 +474,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 rects[:t_count], rvalid[:t_count], frame0=pending['start'],
                 lum=lum_np[:t_count] if lum_np is not None else None)
             stage_t['tracker'] += time.perf_counter() - t_c
-            return (out, pending['start'], fv, pending['n_components'], None)
+            # n_comp is already on host — carrying the device array would
+            # cost consume_flight a fresh ~30 ms tunnel fetch per batch
+            return (out, pending['start'], fv, n_comp, None)
         if config.include_luminosity:
             det_xy = det_xy_dev
         else:
@@ -448,9 +485,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             state, det_xy,
             np.ascontiguousarray(rects[:, :, 2:5]), rvalid, **tracker_kwargs)
         state = new_state
-        start_async_readback(emissions, pending['n_components'])
-        return (emissions, pending['start'], fv, pending['n_components'],
-                None)
+        return emit_device_flight(emissions, pending['start'], fv,
+                                  pending['n_components'], None)
 
     def start_async_readback(emissions, n_components):
         for arr in (emissions['mask'], emissions['ids'], emissions['pos'],
@@ -459,6 +495,57 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 arr.copy_to_host_async()
             except AttributeError:
                 pass
+
+    # device-emissions readback compaction: live slots are packed to the
+    # front on device (cumsum-rank scatter) so the host fetches
+    # (T, em_bucket) instead of (T, max_slots) — at dense capacities the
+    # padded readback is ~6.5 MB/batch of mostly-dead slots and dominates
+    # the d2h wire. The bucket grows to the next power of two past the
+    # largest observed live count (one recompile per upgrade; the padded
+    # arrays cover the upgrading batch). Display mode keeps the padded
+    # arrays (the preview reads them directly).
+    compact_readback = (display is None and not _FORCE_PADDED_READBACK
+                        and bool(settings.get('compact emissions readback',
+                                              False)))
+    em_bucket = min(1024, max_slots)
+
+    def emit_device_flight(emissions, start, fv, n_components, disp):
+        if not compact_readback:
+            start_async_readback(emissions, n_components)
+            return (emissions, start, fv, n_components, disp)
+        packed = trk.compact_emissions_device(emissions, n_components,
+                                              bucket=em_bucket)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        return ({'packed': packed, 'k': int(emissions['pos'].shape[-1]),
+                 'padded': emissions}, start, fv, n_components, disp)
+
+    def consume_flight(flight):
+        """Row extraction + overflow bookkeeping for a finished flight.
+
+        Compacted device flights cost exactly ONE host fetch here (the
+        tunnel charges ~30 ms latency per fetch): counts, n_components,
+        ids, positions, and side info all ride the packed buffer. The
+        emissions bucket grows past the largest observed live count; the
+        upgrading batch falls back to its padded arrays (_flight_rows).
+        """
+        nonlocal em_bucket
+        em = flight[0]
+        if isinstance(em, dict) and 'packed' in em:
+            packed = np.asarray(em['packed'])
+            counts = packed[:, 0, 0]
+            check_overflow(packed[:, 0, 1], flight[2])
+            cmax = int(counts.max(initial=0))
+            if cmax > em_bucket:
+                em_bucket = min(max_slots, _next_pow2(cmax))
+            if cmax > packed.shape[1] - 1:
+                return _compact_emissions(em['padded'], *flight[1:3])
+            return _host_rows_from_packed(packed, counts, em['k'],
+                                          flight[1], flight[2])
+        check_overflow(flight[3], flight[2])
+        return _flight_rows(flight)
 
     def check_overflow(n_components, frame_valid):
         nonlocal overflow_warned
@@ -556,7 +643,6 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 state, emissions = trk.run_tracker_scan(
                     state, tables['det_xy'], tables['det_info'],
                     tables['det_valid'], **tracker_kwargs)
-                start_async_readback(emissions, tables['n_components'])
             t2 = time.perf_counter()
             stage_t['dispatch'] += t2 - t1
             disp = None
@@ -572,8 +658,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             csv_this_iter = 0.0
             frames_processed += count
             if not use_host_rects:
-                new_flight = (emissions, batch['start'], frame_valid,
-                              tables['n_components'], disp)
+                new_flight = emit_device_flight(
+                    emissions, batch['start'], frame_valid,
+                    tables['n_components'], disp)
             if new_flight is not None:
                 if in_flight is not None:
                     if maybe_display(in_flight):
@@ -581,8 +668,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                                      video_path)
                         error_during_read = True
                         break
-                    check_overflow(in_flight[3], in_flight[2])
-                    out = _flight_rows(in_flight)
+                    out = consume_flight(in_flight)
                     if out is not None:
                         pending.append(out)
                         if all_parts is not None:
@@ -605,8 +691,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         # drain the detect->rect->track pipeline: consume the current flight,
         # then track the final detected batch
         if in_flight is not None:
-            check_overflow(in_flight[3], in_flight[2])
-            out = _flight_rows(in_flight)
+            out = consume_flight(in_flight)
             if out is not None:
                 pending.append(out)
                 if all_parts is not None:
@@ -618,8 +703,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             logger.error('Processing file interrupted by user: %s', video_path)
             error_during_read = True
     if in_flight is not None and not error_during_read:
-        check_overflow(in_flight[3], in_flight[2])
-        out = _flight_rows(in_flight)
+        out = consume_flight(in_flight)
         if out is not None:
             pending.append(out)
             if all_parts is not None:
