@@ -72,6 +72,11 @@ _TPU_DEFAULTS = {
     # in pixels transfer mode when the native library is built; the device
     # path is used otherwise.
     'cv2 exact rects': True,
+    # host->device wire for pixels mode: 'auto' run-length-encodes the
+    # foreground pixels (raster-order blobs are horizontal runs; ~4-5x
+    # less traffic at dense scale, expanded back on device), 'pixels'
+    # ships one word per pixel. 'runs' forces RLE where 'auto' would.
+    'wire format': 'auto',
     # pack live tracker emissions into one buffer on device before readback
     # (tracker.compact_emissions_device). Pays on links where the
     # device-to-host direction is contended; on a full-duplex link the
@@ -554,6 +559,7 @@ def get_configs(tracking_ini_filepath=None):
             'max bounding box height': tpu_int('max bounding box height'),
             'luminosity window size': tpu_int('luminosity window size'),
             'cv2 exact rects': tpu_bool('cv2 exact rects'),
+            'wire format': tpu.get('wire format', 'auto').strip().lower(),
             'compact emissions readback':
                 tpu_bool('compact emissions readback'),
             'profile stages': tpu_bool('profile stages'),

@@ -72,6 +72,11 @@ def _load():
         lib.gray_at_pixels.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
+        lib.encode_runs_batch.restype = ctypes.c_int64
+        lib.encode_runs_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
         lib.cv2_rects_batch.restype = ctypes.c_int
         lib.cv2_rects_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -468,3 +473,73 @@ def cv2_min_area_rect_single(pts_xy):
     if rc != 0:
         return None
     return out
+
+
+def encode_runs_batch(px_packed, counts, out_runs, out_counts):
+    """Run-length-encode a packed pixel wire batch (native encoder).
+
+    Raster-order foreground pixels form horizontal runs; the run wire
+    (uint32: start lin 0..25, marker bit 26, length 1..31 bits 27..31)
+    cuts host->device traffic ~4-5x at dense scale and is expanded back to
+    the identical pixel table on device (detect_from_pixels).
+
+    :param px_packed: (T, F) uint32 wire pixels (raster order per frame)
+    :param counts: (T,) int32 valid pixels per frame
+    :param out_runs: (T, R) uint32 output buffer (written in place)
+    :param out_counts: (T,) int32 output runs per frame (written in place)
+    :return: max runs in any frame; -1 if a frame overflows R; -2 if a
+        linear index exceeds the 26-bit start field; None without the
+        native library (callers use :func:`encode_runs_numpy`)
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pp = np.ascontiguousarray(px_packed, dtype=np.uint32)
+    cc = np.ascontiguousarray(counts, dtype=np.int32)
+    t, f = pp.shape
+    assert out_runs.shape[0] == t and out_counts.shape[0] == t
+    return int(lib.encode_runs_batch(
+        pp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t, f,
+        out_runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_runs.shape[1],
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+
+
+def encode_runs_numpy(px_packed, counts, out_runs, out_counts):
+    """Vectorised numpy fallback of :func:`encode_runs_batch` (same
+    contract, same wire format)."""
+    pp = np.asarray(px_packed, dtype=np.uint32)
+    t, f = pp.shape
+    r = out_runs.shape[1]
+    max_runs = 0
+    for ti in range(t):
+        n = int(min(max(counts[ti], 0), f))
+        if n == 0:
+            out_counts[ti] = 0
+            continue
+        row = pp[ti, :n]
+        lin = (row & np.uint32(0x7FFFFFFF)).astype(np.int64)
+        if lin[-1] >= (1 << 26):
+            return -2
+        marker = (row >> np.uint32(31)).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        # natural boundaries: non-consecutive lin or marker change
+        nat = np.ones(n, bool)
+        nat[1:] = (np.diff(lin) != 1) | (np.diff(marker) != 0)
+        # split runs longer than 31: boundary whenever the offset within
+        # the natural run hits a multiple of 31
+        run_start = np.maximum.accumulate(np.where(nat, idx, 0))
+        bound = nat | ((idx - run_start) % 31 == 0)
+        starts = np.nonzero(bound)[0]
+        nr = len(starts)
+        if nr > r:
+            return -1
+        lens = np.diff(np.append(starts, n))
+        out_runs[ti, :nr] = (lin[starts].astype(np.uint32) |
+                             (marker[starts].astype(np.uint32) << 26) |
+                             (lens.astype(np.uint32) << 27))
+        out_counts[ti] = nr
+        max_runs = max(max_runs, nr)
+    return max_runs
