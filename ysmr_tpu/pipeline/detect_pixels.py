@@ -25,6 +25,11 @@ from ysmr_tpu.ops import labeling as lb
 #: test hook: run the sorted-run compaction path on any backend
 _FORCE_SORT_COMPACT = False
 
+#: rasterize the mask/marker image from run boundary deltas + cumsum
+#: instead of the per-pixel scatter (benchmark knob; see
+#: rasterize_values_runs for the measured trade-off)
+_RUNS_DELTA_RASTER = True
+
 
 @partial(jax.jit, static_argnames=('h', 'w', 'double_threshold', 'max_det',
                                    'max_bh', 'cc_iters', 'include_luminosity',
@@ -78,12 +83,15 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     """
     n = h * w
     if px_runs is not None:
-        # expand the run wire to the (T, F) pixel table: scatter each run's
-        # index at its exclusive start offset, forward-cummax to assign a
-        # run id to every slot, then slot position - run offset + run start
-        # reconstructs the linear index. Pixels come out in the encoder's
-        # input (raster) order, so downstream semantics — and the wire-order
-        # det_px_idx contract — are identical to the pixel wire.
+        # expand the run wire to the (T, F) pixel table. The linear index
+        # needs NO per-pixel gather: within a run lin increments by one,
+        # and at each run start it jumps by (start_i - prev_end + 1), so
+        # one 2-per-run scatter of jump deltas + a cumsum over the slot
+        # axis reconstructs lin exactly (full-length gathers are the
+        # expensive op on TPU; this keeps the expansion to one scatter and
+        # one scan). Pixels come out in the encoder's input (raster)
+        # order, so downstream semantics — and the wire-order det_px_idx
+        # contract — are identical to the pixel wire.
         t, r = px_runs.shape
         f = expanded_f
         runs = px_runs.astype(jnp.uint32)
@@ -94,21 +102,39 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         lens = jnp.where(rvalid, lens, 0)
         ends = jnp.cumsum(lens, axis=1)
         offs = ends - lens
-        iota_f = jnp.arange(f, dtype=jnp.int32)[None, :]
         t_off_f = jnp.arange(t, dtype=jnp.int32)[:, None] * f
         oob_r = (jnp.int32(t * f) +
                  jnp.arange(t * r, dtype=jnp.int32).reshape(t, r))
-        flat_idx = jnp.where((lens > 0) & (offs < f), offs + t_off_f, oob_r)
-        rid_flat = jnp.zeros((t * f,), jnp.int32).at[flat_idx.reshape(-1)].set(
-            jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :],
-                             (t, r)).reshape(-1),
-            mode='drop', unique_indices=True)
-        rid = jax.lax.cummax(rid_flat.reshape(t, f), axis=1)
-        lin_raw = (jnp.take_along_axis(starts, rid, axis=1) +
-                   (iota_f - jnp.take_along_axis(offs, rid, axis=1)))
-        px_marker = jnp.take_along_axis(rmark, rid, axis=1)
+        run_ok = lens > 0
+        flat_idx = jnp.where(run_ok & (offs < f), offs + t_off_f, oob_r)
+        prev_end = jnp.concatenate(
+            [jnp.ones((t, 1), jnp.int32),
+             (starts + lens)[:, :-1]], axis=1)
+        jumps = starts - prev_end + 1
+        d_flat = jnp.ones((t * f,), jnp.int32).at[flat_idx.reshape(-1)].add(
+            (jumps - 1).reshape(-1), mode='drop', unique_indices=True)
+        lin_raw = jnp.cumsum(d_flat.reshape(t, f), axis=1)
         px_x = lin_raw % w
         px_y = lin_raw // w
+        runs_data = (starts, lens, rmark) if _RUNS_DELTA_RASTER else None
+
+        def _marker_from_runs():
+            # per-pixel marker, only for the paths that consume it (the
+            # delta-rasterized image already encodes it): run id per slot
+            # via start-offset scatter + cummax, then one gather
+            rid_flat = jnp.zeros((t * f,), jnp.int32).at[
+                flat_idx.reshape(-1)].set(
+                jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :],
+                                 (t, r)).reshape(-1),
+                mode='drop', unique_indices=True)
+            rid = jax.lax.cummax(rid_flat.reshape(t, f), axis=1)
+            return jnp.take_along_axis(rmark, rid, axis=1)
+
+        _sorted_path = (not use_table) and (use_pallas or _FORCE_SORT_COMPACT)
+        _marker_needed = double_threshold and not (
+            _sorted_path and runs_data is not None)
+        px_marker = _marker_from_runs() if _marker_needed \
+            else jnp.zeros((t, f), bool)
     elif px_packed is not None:
         t, f = px_packed.shape
         packed = px_packed.astype(jnp.uint32)
@@ -122,6 +148,8 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         px_y = px_y.astype(jnp.int32)
         px_marker = px_marker.astype(jnp.int32) > 0
         lin_raw = px_y * w + px_x
+    if px_runs is None:
+        runs_data = None
     px_valid = jnp.arange(f, dtype=jnp.int32)[None, :] < px_counts[:, None]
     valid = px_valid & frame_valid[:, None]
     lin = jnp.where(valid, lin_raw, n)
@@ -147,6 +175,31 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         flat = jnp.zeros((t * (n + 1),), jnp.int8).at[idx.reshape(-1)].set(
             val.reshape(-1), mode='drop', unique_indices=True)
         return flat.reshape(t, n + 1)[:, :n].reshape(t, h, w)
+
+    def rasterize_values_runs():
+        """(T, H, W) valued image from the run wire via boundary deltas:
+        +v at each run start, -v one past its end, then an int8 cumsum
+        along the flat raster axis. ~2 scattered updates per RUN instead
+        of one per PIXEL — the per-pixel scatter is the single largest
+        labels-stage cost at dense scale (runs are disjoint and cannot
+        cross the per-frame n+1 boundary, so partial sums stay exact)."""
+        starts_r, lens_r, rmark_r = runs_data
+        lens_e = jnp.where(frame_valid[:, None], lens_r, 0)
+        rr = starts_r.shape[1]
+        t_off_r = jnp.arange(t, dtype=jnp.int32)[:, None] * (n + 1)
+        vals = jnp.where(rmark_r, jnp.int8(2), jnp.int8(1))
+        ok = lens_e > 0
+        oob0 = (jnp.int32(t * (n + 1)) +
+                jnp.arange(t * rr, dtype=jnp.int32).reshape(t, rr))
+        idx0 = jnp.where(ok, starts_r + t_off_r, oob0)
+        idx1 = jnp.where(ok, starts_r + lens_e + t_off_r, oob0)
+        flat = jnp.zeros((t * (n + 1),), jnp.int8)
+        flat = flat.at[idx0.reshape(-1)].add(vals.reshape(-1), mode='drop',
+                                             unique_indices=True)
+        flat = flat.at[idx1.reshape(-1)].add((-vals).reshape(-1),
+                                             mode='drop', unique_indices=True)
+        img = jnp.cumsum(flat.reshape(t, n + 1), axis=1, dtype=jnp.int8)
+        return img[:, :n].reshape(t, h, w)
 
     def gather_all(img_b, lin_b):
         """(T, H, W) images gathered at (T, F) linear indices, one flat op."""
@@ -225,14 +278,18 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             # read the background label (h*w) from the label image, so the
             # keep flags come for free from the label gather.
             from ysmr_tpu.ops.pallas_cc import binary_reconstruct
-            val = jnp.where(px_marker & valid_b, jnp.int8(2), jnp.int8(1))
-            img = rasterize_values(lin, val)
+            if runs_data is not None:
+                img = rasterize_values_runs()
+            else:
+                val = jnp.where(px_marker & valid_b, jnp.int8(2), jnp.int8(1))
+                img = rasterize_values(lin, val)
             keep_img = binary_reconstruct(img > 0, img > 1,
                                           max_iters=cc_iters,
                                           interpret=not use_pallas)
             lab8 = cc(keep_img, 8)
         else:
-            lab8 = cc(rasterize_all(lin), 8)
+            lab8 = cc(rasterize_values_runs() > 0 if runs_data is not None
+                      else rasterize_all(lin), 8)
         lab8_fg = jnp.where(valid_b, gather_all(lab8, lin), n)
         lin_kept = jnp.where(lab8_fg < n, lin, n)
         slab8, slin8, sgray8 = jax.lax.sort((lab8_fg, lin_kept, gray0),
@@ -257,7 +314,8 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             g = det_map[(lab8_fg + t_off).reshape(-1)].reshape(t, f)
             det_px = jnp.where((g >= 0) & (g < max_det), g, -1)
     else:
-        mask = rasterize_all(lin)
+        mask = rasterize_values_runs() > 0 if runs_data is not None \
+            else rasterize_all(lin)
         if double_threshold:
             lab4 = cc(mask, 4)
             lab4_fg = gather_all(lab4, lin)
