@@ -219,3 +219,79 @@ def test_min_area_rect_diagonal_line_convention():
     assert rect['angle_deg'][0] == pytest.approx(-45.0, abs=1e-4)
     assert rect['cx'][0] == pytest.approx(6.0, abs=1e-5)
     assert rect['cy'][0] == pytest.approx(6.0, abs=1e-5)
+
+
+def _sorted_stats_inputs(rng, h, w, n_comp, max_tall=None, f_pad=64):
+    """Random (component, lin)-sorted pixel table: contiguous active prefix,
+    components in DESCENDING id order (the sorted-compaction ordering),
+    y-sorted (lin-sorted) within each component."""
+    import numpy as np
+    rows = []
+    for c in range(n_comp - 1, -1, -1):
+        y0 = int(rng.integers(0, h - 12))
+        x0 = int(rng.integers(0, w - 12))
+        height = int(rng.integers(1, 12 if max_tall is None else max_tall))
+        pix = set()
+        for dy in range(height):
+            n_px = int(rng.integers(1, 8))
+            for _ in range(n_px):
+                pix.add((y0 + dy, x0 + int(rng.integers(0, 12))))
+        pix = sorted(pix, key=lambda p: p[0] * w + p[1])
+        for (y, x) in pix:
+            rows.append((c, x, y))
+    f = len(rows) + f_pad
+    seg = np.full((f,), 0, np.int32)
+    xs = np.zeros((f,), np.int32)
+    ys = np.zeros((f,), np.int32)
+    active = np.zeros((f,), bool)
+    for i, (c, x, y) in enumerate(rows):
+        seg[i], xs[i], ys[i] = c, x, y
+        active[i] = True
+    return xs, ys, seg, active
+
+
+@pytest.mark.parametrize('lum', [False, True])
+def test_component_stats_sorted_runs_equivalent(rng, lum):
+    """sorted_runs=True (segmented scans + one packed scatter) must be
+    bit-identical to the segment-reduction path, including components
+    TALLER than max_bh (their clipped tail aggregates into the last row
+    slot) and ids beyond max_det (dropped)."""
+    h, w = 200, 300
+    max_det, max_bh = 8, 6
+    xs, ys, seg, active = _sorted_stats_inputs(rng, h, w, n_comp=11,
+                                               max_tall=14)
+    seg = np.where(active, np.minimum(seg, max_det), max_det).astype(np.int32)
+    gray = (np.asarray(xs) * 7 + np.asarray(ys) * 3) % 251 if lum else None
+    kw = dict(gray_vals=gray, max_det=max_det, max_bh=max_bh,
+              use_pallas_hull=False)
+    ref = lb.component_stats(xs, ys, seg, active, **kw)
+    new = lb.component_stats(xs, ys, seg, active, sorted_runs=True,
+                             frame_w=w, frame_h=h, **kw)
+    for key in ref:
+        a, b = np.asarray(ref[key]), np.asarray(new[key])
+        # garbage values behind invalid masks may differ; compare valid only
+        if key in ('points', 'points_valid'):
+            continue
+        assert a.shape == b.shape, key
+        if key in ('count', 'lum_sum', 'min_x', 'max_x', 'min_y', 'max_y'):
+            valid = np.asarray(ref['count']) > 0
+            assert (a[valid] == b[valid]).all(), key
+        elif key in ('edge_dx', 'edge_dy', 'edge_angles', 'edge_valid'):
+            ev = np.asarray(ref['edge_valid'])
+            assert (np.asarray(new['edge_valid']) == ev).all()
+            assert (a[ev] == b[ev]).all(), key
+    pv = np.asarray(ref['points_valid'])
+    assert (np.asarray(new['points_valid']) == pv).all()
+    assert (np.asarray(new['points'])[pv] == np.asarray(ref['points'])[pv]).all()
+
+
+def test_component_stats_sorted_runs_empty(rng):
+    """All-inactive input: no NaNs, zero counts, no valid rows."""
+    f, max_det, max_bh = 64, 4, 4
+    z = np.zeros((f,), np.int32)
+    out = lb.component_stats(z, z, np.full((f,), max_det, np.int32),
+                             np.zeros((f,), bool), sorted_runs=True,
+                             frame_w=128, frame_h=128,
+                             max_det=max_det, max_bh=max_bh)
+    assert (np.asarray(out['count']) == 0).all()
+    assert not np.isnan(np.asarray(out['points'])).any()

@@ -374,12 +374,19 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             out['det_px_idx'] = det_px.astype(jnp.int16)
         return out
 
+    # the sorted-compaction path orders pixels by (component id, linear
+    # index) — component_stats can then build its row tables with segmented
+    # scans + one packed scatter instead of combiner-scatter segment
+    # reductions (bit-identical; ~13x cheaper on TPU)
+    stats_sorted = bool((use_pallas or _FORCE_SORT_COMPACT) and not use_table)
+
     def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f, frame_gray):
         tables = lb.component_stats(
             px_x_f, px_y_f, seg_f, keep_f,
             gray_vals=gray_f if (include_luminosity and not exact_lum)
             else None,
-            max_det=max_det, max_bh=max_bh, use_pallas_hull=use_pallas)
+            max_det=max_det, max_bh=max_bh, use_pallas_hull=use_pallas,
+            sorted_runs=stats_sorted, frame_w=w, frame_h=h)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
