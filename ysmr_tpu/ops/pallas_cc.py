@@ -38,6 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SENTINEL = 2 ** 30  # python int (a jnp constant would be a captured const)
 
+#: propagation steps between convergence tests in the while-loop kernels
+#: (the test is a full-plane reduction costing about one propagation step;
+#: extra steps past the fixed point are idempotent). Module-level so tests
+#: and benchmarks can bisect compile/runtime behaviour.
+_CHECK_EVERY = 8
+
 
 def _pad_dims(h, w):
     # at least one padding row/column: the stencil uses circular rolls, and
@@ -47,7 +53,7 @@ def _pad_dims(h, w):
     return hp, wp
 
 
-def _stencil_converge(lab, connectivity, max_iters, check_every=8):
+def _stencil_converge(lab, connectivity, max_iters, check_every=None):
     """Min-label propagation to convergence on a VMEM-resident (hp, wp) array.
 
     The convergence test is itself a full-array reduction pass costing about
@@ -57,6 +63,8 @@ def _stencil_converge(lab, connectivity, max_iters, check_every=8):
     net win at bacteria-scale convergence (~10-15 steps; interleaved A/B at
     bench shapes: 48.3 -> 42.2 ms/64-frame batch going from 1 to 8).
     """
+    if check_every is None:
+        check_every = _CHECK_EVERY
     is_fg = lab < _SENTINEL
     hp, wp = lab.shape
 
@@ -201,7 +209,7 @@ def _make_kernel(h, w, f, double_threshold, max_iters):
     return kernel, hp, wp
 
 
-def _label_frame_kernel(h, w, connectivity, max_iters, check_every=8):
+def _label_frame_kernel(h, w, connectivity, max_iters, check_every=None):
     hp, wp = _pad_dims(h, w)
 
     def kernel(mask_ref, lab_ref):
@@ -249,7 +257,10 @@ def label_components_whole_frame(mask, connectivity=8, max_iters=64,
     return labels[:, :h, :w]
 
 
-def _reconstruct_kernel(hp, wp, max_iters, check_every=8):
+def _reconstruct_kernel(hp, wp, max_iters, check_every=None):
+    if check_every is None:
+        check_every = _CHECK_EVERY
+
     def kernel(mask_ref, marker_ref, out_ref):
         m = mask_ref[0]
         k = marker_ref[0] & m
