@@ -205,6 +205,28 @@ def test_track_bacteria_deterministic(tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_compact_readback_pipeline_parity(tmp_path):
+    """The opt-in 'compact emissions readback' (device-side slot packing,
+    one small d2h fetch per batch) must be invisible in the artifacts: same
+    rows as the default padded readback. Device-tracker mode ('cv2 exact
+    rects' off) so the emissions path is the one under test."""
+    from tests.test_e2e_parity import _make_settings, make_synthetic_video
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=40)
+    out = {}
+    for compact in (False, True):
+        settings = _make_settings(tmp_path, **{
+            'cv2 exact rects': False,
+            'compact emissions readback': compact})
+        folder = tmp_path / ('compact' if compact else 'padded')
+        folder.mkdir()
+        res = track_bacteria(video, settings=settings,
+                             result_folder=str(folder))
+        assert res is not None
+        out[compact] = res[0]
+    pd.testing.assert_frame_equal(out[False], out[True])
+
+
 def test_jax_profiler_stops_on_zero_track_return(tmp_path):
     """The zero-tracks early return must stop the profiler too; a leaked
     trace would make the next run's start_trace raise."""
