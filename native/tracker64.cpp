@@ -43,6 +43,10 @@
 #include <cstddef>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct GsffState {
@@ -84,7 +88,8 @@ struct Tracker64 {
     int64_t next_id = 0;
     std::vector<EmittedRow> rows;
     // scratch
-    std::vector<double> dist2;
+    std::vector<double> dist2;               // one ROW of squared distances
+    std::vector<double> det_x, det_y, det_z; // detection coords, SoA
     std::vector<int> row_order, row_argmin;
     std::vector<double> row_min;
     std::vector<char> row_used, col_used;
@@ -275,28 +280,92 @@ void update_frame(Tracker64& t, int64_t frame, const float* rects,
             register_track(t, det.data() + (size_t)c * t.dims,
                            dinfo.data() + (size_t)c * 3);
     } else {
-        // squared distances: ordering/ties identical to euclidean cdist
-        t.dist2.assign((size_t)n_obj * n_det, 0.0);
-        for (long r = 0; r < n_obj; ++r) {
-            const double* p = t.tracks[(size_t)r].pos;
-            for (long c = 0; c < n_det; ++c) {
-                const double* q = det.data() + (size_t)c * t.dims;
-                double acc = 0.0;
-                for (int d = 0; d < t.dims; ++d) {
-                    const double dd = p[d] - q[d];
-                    acc += dd * dd;
-                }
-                t.dist2[(size_t)r * n_det + c] = acc;
-            }
+        // squared distances: ordering/ties identical to euclidean cdist.
+        // Only the per-row (min, first-occurrence argmin) is ever consumed,
+        // so the O(n_obj * n_det) matrix is never materialized — one row
+        // buffer lives in L1 and dense scenes (3000x3000) stay cache-bound.
+        // Arithmetic per element matches the -ffp-contract=off scalar form
+        // exactly: (dx*dx + dy*dy) [+ dz*dz], mul then add, never fused.
+        t.det_x.resize((size_t)n_det);
+        t.det_y.resize((size_t)n_det);
+        if (t.dims == 3) t.det_z.resize((size_t)n_det);
+        for (long c = 0; c < n_det; ++c) {
+            t.det_x[(size_t)c] = det[(size_t)c * t.dims + 0];
+            t.det_y[(size_t)c] = det[(size_t)c * t.dims + 1];
+            if (t.dims == 3) t.det_z[(size_t)c] = det[(size_t)c * t.dims + 2];
         }
+        t.dist2.resize((size_t)n_det);
         t.row_min.assign((size_t)n_obj, 0.0);
         t.row_argmin.assign((size_t)n_obj, 0);
         for (long r = 0; r < n_obj; ++r) {
-            const double* dr = t.dist2.data() + (size_t)r * n_det;
+            const double* p = t.tracks[(size_t)r].pos;
+            double* dr = t.dist2.data();
+            long c = 0;
+            double m;
+#if defined(__AVX512F__)
+            {
+                const __m512d px = _mm512_set1_pd(p[0]);
+                const __m512d py = _mm512_set1_pd(p[1]);
+                const __m512d pz = _mm512_set1_pd(t.dims == 3 ? p[2] : 0.0);
+                __m512d vmin = _mm512_set1_pd(INFINITY);
+                for (; c + 8 <= n_det; c += 8) {
+                    const __m512d dx = _mm512_sub_pd(
+                        px, _mm512_loadu_pd(&t.det_x[(size_t)c]));
+                    const __m512d dy = _mm512_sub_pd(
+                        py, _mm512_loadu_pd(&t.det_y[(size_t)c]));
+                    __m512d acc = _mm512_add_pd(_mm512_mul_pd(dx, dx),
+                                                _mm512_mul_pd(dy, dy));
+                    if (t.dims == 3) {
+                        const __m512d dz = _mm512_sub_pd(
+                            pz, _mm512_loadu_pd(&t.det_z[(size_t)c]));
+                        acc = _mm512_add_pd(acc, _mm512_mul_pd(dz, dz));
+                    }
+                    _mm512_storeu_pd(dr + c, acc);
+                    vmin = _mm512_min_pd(vmin, acc);
+                }
+                m = _mm512_reduce_min_pd(vmin);
+            }
+#else
+            m = INFINITY;
+#endif
+            for (; c < n_det; ++c) {  // scalar tail (or full scalar path)
+                const double dx = p[0] - t.det_x[(size_t)c];
+                double acc = dx * dx;
+                const double dy = p[1] - t.det_y[(size_t)c];
+                acc += dy * dy;
+                if (t.dims == 3) {
+                    const double dz = p[2] - t.det_z[(size_t)c];
+                    acc += dz * dz;
+                }
+                dr[c] = acc;
+                if (acc < m) m = acc;
+            }
+            // first-occurrence argmin: the min is bitwise one of the row
+            // values (dist2 >= 0, no NaN), so the first equal element is it
             long best = 0;
-            for (long c = 1; c < n_det; ++c)
-                if (dr[c] < dr[best]) best = c;  // first-occurrence argmin
-            t.row_min[(size_t)r] = dr[best];
+#if defined(__AVX512F__)
+            {
+                const __m512d vm = _mm512_set1_pd(m);
+                long c2 = 0;
+                bool found = false;
+                for (; c2 + 8 <= n_det; c2 += 8) {
+                    const __mmask8 k = _mm512_cmp_pd_mask(
+                        _mm512_loadu_pd(dr + c2), vm, _CMP_EQ_OQ);
+                    if (k) {
+                        best = c2 + __builtin_ctz((unsigned)k);
+                        found = true;
+                        break;
+                    }
+                }
+                if (!found)
+                    for (; c2 < n_det; ++c2)
+                        if (dr[c2] == m) { best = c2; break; }
+            }
+#else
+            for (long c2 = 0; c2 < n_det; ++c2)
+                if (dr[c2] == m) { best = c2; break; }
+#endif
+            t.row_min[(size_t)r] = m;
             t.row_argmin[(size_t)r] = (int)best;
         }
         t.row_order.resize((size_t)n_obj);
