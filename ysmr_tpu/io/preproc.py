@@ -111,6 +111,38 @@ class HostPreprocessor:
         h, w = res
         return self._stage2_tables(h, w)
 
+    def supports_exact_fused(self):
+        """True when the libav exact-decode path can serve this run: the
+        fused path keeps no frame object (display) and no full gray plane
+        copy (exact rect luminosity), mirroring ``process_jpeg``'s gating."""
+        return (not self.keep_frames and not self.include_luminosity
+                and native.avdec_available())
+
+    def process_jpeg_exact(self, jpg_buf):
+        """Fused exact decode + preprocessing via the avdec module.
+
+        Bit-identical to ``cv2.VideoCapture.read`` + ``__call__`` (verified
+        per-file by the reader's first-frame self-check): libavcodec MJPEG ->
+        libswscale BGR24 in 64-row bands -> exact gray recipe, written
+        straight into the native stage-1 buffer. Returns None when the
+        module is unavailable or the frame fails to decode (caller falls
+        back to a full avdec/cv2 BGR decode).
+        """
+        if not self.supports_exact_fused():
+            return None
+        if self.mode == 'mean':
+            res = native.avdec_gray_stage1(jpg_buf, need_mean=False,
+                                           want_stats=True)
+            if res is None:
+                return None
+            (h, w), stats = res
+            return self._stage2_tables(h, w, mean_stats=stats)
+        res = native.avdec_gray_stage1(jpg_buf, need_mean=True)
+        if res is None:
+            return None
+        h, w = res
+        return self._stage2_tables(h, w)
+
     def __call__(self, frame_bgr):
         """frame -> dict of px_x, px_y, px_marker, px_gray, count."""
         default_gray = (frame_bgr.ndim == 2 or

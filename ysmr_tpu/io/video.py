@@ -118,9 +118,18 @@ class BatchedVideoReader:
         fourcc = fourcc.to_bytes(4, 'little')
         self._fourcc = fourcc
         self._demux = None
-        # fast mode applies only on the preprocessed (grayscale) path: the
-        # frames path ships BGR to the device, so there is nothing to skip
-        if decode_mode == 'fast' and preprocess is not None and \
+        self._exact_fused = False
+        # the fused demux paths apply only on the preprocessed (grayscale)
+        # pipeline: the frames path ships BGR to the device, so there is
+        # nothing to skip. 'fast' trades bit-parity for the gray-only
+        # libjpeg decode; 'exact' runs the SAME libraries as cv2's videoio
+        # (libavcodec MJPEG + libswscale) directly on the demuxed chunks,
+        # guarded by a first-frame byte-compare against cap.read() below.
+        want_fast = decode_mode == 'fast'
+        want_exact_fused = (
+            decode_mode == 'exact' and preprocess is not None and
+            getattr(preprocess, 'supports_exact_fused', lambda: False)())
+        if (want_fast or want_exact_fused) and preprocess is not None and \
                 (color_filter is None or color_filter == cv2.COLOR_BGR2GRAY) \
                 and fourcc in (b'MJPG', b'mjpg'):
             try:
@@ -132,12 +141,35 @@ class BatchedVideoReader:
                 else:
                     demux.close()
             except (VideoReadError, OSError, ValueError) as err:
-                self.logger.debug('Fast MJPG demux unavailable for %s (%s); '
-                                  'using exact decode.', video_path, err)
+                self.logger.debug('MJPG demux unavailable for %s (%s); '
+                                  'using cv2 decode.', video_path, err)
+        if self._demux is not None and want_exact_fused:
+            # first-frame parity self-check: the system libavcodec/libswscale
+            # must reproduce cv2's bundled ones byte-for-byte (IDCT and
+            # yuv->bgr arithmetic can differ across ffmpeg versions). One
+            # mismatching byte falls the whole file back to cap.read().
+            from ysmr_tpu import native as _native
+            ok, first = cap.read()
+            bgr = _native.avdec_decode_bgr(self._demux.chunk(0)) \
+                if ok and len(self._demux) else None
+            if bgr is not None and bgr.shape == first.shape and \
+                    np.array_equal(bgr, first):
+                self._exact_fused = True
+                self.logger.debug('Exact libav fused decode active for %s',
+                                  video_path)
+            else:
+                self._demux.close()
+                self._demux = None
+                self.logger.debug(
+                    'Exact libav decode self-check failed for %s; '
+                    'using cv2 decode.', video_path)
+                cap.release()
+                cap = cv2.VideoCapture(video_path)  # frame 0 was consumed
         if self._demux is not None:
             cap.release()
-            self.logger.debug('Fast MJPG grayscale decode active for %s',
-                              video_path)
+            if not self._exact_fused:
+                self.logger.debug('Fast MJPG grayscale decode active for %s',
+                                  video_path)
         self._cap = cap
         self._queue = queue.Queue(maxsize=prefetch)
         self._thread = None
@@ -204,6 +236,29 @@ class BatchedVideoReader:
                 out[key] = arr
         return out
 
+    def _decode_chunk_frame(self, idx):
+        """Per-frame fallback decode of demux chunk ``idx`` matching the
+        active mode's arithmetic: exact mode must keep the cap.read()
+        recipe (avdec full-BGR decode), fast mode uses libjpeg grayscale."""
+        if self._exact_fused:
+            from ysmr_tpu import native as _native
+            return _native.avdec_decode_bgr(self._demux.chunk(idx))
+        return self._demux.read_gray(idx)
+
+    def _read_buffer(self):
+        """Reusable cap.read() destination, or None when unsafe.
+
+        Passing a preallocated Mat skips cv2's per-frame allocation+copy
+        (~0.3 ms at 1228x922). Only valid when the frame is consumed before
+        the next read: the preprocessor reduces it to pixel tables
+        immediately, but keep_frames (display) retains the object and the
+        frames path batches raw frames, so both keep the allocating read.
+        """
+        if self.preprocess is None or \
+                getattr(self.preprocess, 'keep_frames', False):
+            return None
+        return np.empty((self.height, self.width, 3), np.uint8)
+
     def _prep_frame(self, frame):
         """Per-frame host work shared by the sequential and striped paths."""
         if self.preprocess is None:
@@ -226,19 +281,25 @@ class BatchedVideoReader:
         batch = []
         start = 0
         idx = 0
-        # fused native decode+preprocess: libjpeg writes luma straight into
-        # the C++ preprocessing buffers (no intermediate image object)
-        fused = (self._demux is not None and self.preprocess is not None and
-                 callable(getattr(self.preprocess, 'process_jpeg', None)))
+        # fused native decode+preprocess: the decoder writes gray straight
+        # into the C++ preprocessing buffers (no intermediate image object).
+        # fast mode: libjpeg gray-only; exact mode: libavcodec + libswscale
+        # (cap.read()-byte-identical, verified by the open-time self-check).
+        fused_fn = None
+        if self._demux is not None and self.preprocess is not None:
+            fused_fn = getattr(
+                self.preprocess,
+                'process_jpeg_exact' if self._exact_fused else 'process_jpeg',
+                None)
+        read_buf = self._read_buffer() if self._demux is None else None
         try:
             while True:
                 self.frames_read = idx
                 if self._demux is not None:
                     if idx >= len(self._demux):
                         break
-                    if fused:
-                        entry = self.preprocess.process_jpeg(
-                            self._demux.chunk(idx))
+                    if fused_fn is not None:
+                        entry = fused_fn(self._demux.chunk(idx))
                         if entry is not None:
                             batch.append(entry)
                             idx += 1
@@ -248,9 +309,9 @@ class BatchedVideoReader:
                                 batch = []
                                 start = idx
                             continue
-                        # native jpeg path unavailable for this frame:
-                        # fall through to cv2.imdecode
-                    frame = self._demux.read_gray(idx)
+                        # native decode unavailable for this frame: fall
+                        # through to the matching per-frame decoder
+                    frame = self._decode_chunk_frame(idx)
                     if frame is None:
                         # a mid-stream chunk that fails to decode is an
                         # error, not EOF (the chunk scan bounded the list)
@@ -259,7 +320,8 @@ class BatchedVideoReader:
                                 idx, self.path))
                     ret = True
                 else:
-                    ret, frame = cap.read()
+                    ret, frame = cap.read(read_buf) if read_buf is not None \
+                        else cap.read()
                 if not ret:
                     break
                 batch.append(self._prep_frame(frame))
@@ -337,9 +399,12 @@ class BatchedVideoReader:
                 if not cap.isOpened():
                     raise VideoReadError(
                         'Cannot open file {}'.format(self.path))
-            fused = (self._demux is not None and self.preprocess is not None
-                     and callable(getattr(self.preprocess, 'process_jpeg',
-                                          None)))
+            fused_fn = None
+            if self._demux is not None and self.preprocess is not None:
+                fused_fn = getattr(
+                    self.preprocess,
+                    'process_jpeg_exact' if self._exact_fused
+                    else 'process_jpeg', None)
             n_batches = -(-total // batch_size)
             # A cv2-decoded container whose header UNDER-reports the frame
             # count would otherwise silently lose trailing frames (the
@@ -351,6 +416,7 @@ class BatchedVideoReader:
             # none of this: its chunk list is the exact ground truth.
             is_tail_owner = self._demux is None and \
                 wid == (n_batches - 1) % T
+            read_buf = self._read_buffer() if self._demux is None else None
             pos = -1
             while not self._stop.is_set():
                 start = seq * batch_size
@@ -362,7 +428,7 @@ class BatchedVideoReader:
                     idx = start
                     batch = []
                     while not self._stop.is_set():
-                        ret, frame = cap.read()
+                        ret, frame = cap.read(read_buf) if read_buf is not None else cap.read()
                         if not ret:
                             break
                         batch.append(self._prep_frame(frame))
@@ -382,11 +448,10 @@ class BatchedVideoReader:
                 for idx in range(start, start + n):
                     if self._demux is not None:
                         entry = None
-                        if fused:
-                            entry = self.preprocess.process_jpeg(
-                                self._demux.chunk(idx))
+                        if fused_fn is not None:
+                            entry = fused_fn(self._demux.chunk(idx))
                         if entry is None:
-                            frame = self._demux.read_gray(idx)
+                            frame = self._decode_chunk_frame(idx)
                             if frame is None:
                                 raise VideoReadError(
                                     'Undecodable MJPG chunk {} in {}'.format(
@@ -397,7 +462,7 @@ class BatchedVideoReader:
                         if pos != idx:
                             cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
                             pos = idx
-                        ret, frame = cap.read()
+                        ret, frame = cap.read(read_buf) if read_buf is not None else cap.read()
                         if not ret:
                             short = True  # EOF semantics, as sequential
                             break

@@ -110,6 +110,11 @@ def _load():
         lib.tracker64_next_id.argtypes = [ctypes.c_void_p]
         lib.tracker64_live_count.restype = ctypes.c_int64
         lib.tracker64_live_count.argtypes = [ctypes.c_void_p]
+        lib.stage1_acquire_gray.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.stage1_acquire_gray.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.stage1_run_from_gray.restype = None
+        lib.stage1_run_from_gray.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p]
         _LIB = lib
     except (OSError, AttributeError):
         # missing library, or a stale .so lacking a required symbol: fall
@@ -120,6 +125,112 @@ def _load():
 
 def available():
     return _load() is not None
+
+
+_AVDEC = None
+_AVDEC_TRIED = False
+
+
+def _load_avdec():
+    """Optional exact-decode module (libysmr_avdec.so: libavcodec MJPEG +
+    libswscale + the exact gray recipe). Separate from the core library so
+    its ffmpeg linkage cannot break everything else."""
+    global _AVDEC, _AVDEC_TRIED
+    if _AVDEC_TRIED:
+        return _AVDEC
+    _AVDEC_TRIED = True
+    if _load() is None:  # stage-1 buffers live in the core library
+        return None
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        'native', 'libysmr_avdec.so')
+    if not os.path.isfile(path):
+        return None
+    try:
+        # RTLD_DEEPBIND: cv2 ships its own (symbol-unmangled) ffmpeg copy;
+        # without deep binding our libav calls can resolve into cv2's
+        # different-major-version libraries and corrupt the heap
+        deepbind = getattr(os, 'RTLD_DEEPBIND', 0x8)
+        lib = ctypes.CDLL(path, mode=ctypes.DEFAULT_MODE | deepbind)
+        lib.avdec_available.restype = ctypes.c_int
+        lib.avdec_available.argtypes = []
+        lib.avdec_decode.restype = ctypes.c_int
+        lib.avdec_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.avdec_frame_to_gray.restype = ctypes.c_int
+        lib.avdec_frame_to_gray.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.avdec_frame_to_bgr.restype = ctypes.c_int
+        lib.avdec_frame_to_bgr.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        if not lib.avdec_available():
+            return None
+        _AVDEC = lib
+    except (OSError, AttributeError):
+        _AVDEC = None
+    return _AVDEC
+
+
+def avdec_available():
+    return _load_avdec() is not None
+
+
+def _as_u8_buf(jpg):
+    buf = np.frombuffer(jpg, np.uint8) if not isinstance(jpg, np.ndarray) \
+        else jpg
+    return buf
+
+
+def avdec_gray_stage1(jpg, need_mean, want_stats=False):
+    """Exact-decode one JPEG chunk + stage 1, mirroring
+    ``decode_jpeg_gray_stage1``'s contract: gray = the exact BGR2GRAY recipe
+    applied to libswscale's BGR24 (cv2's own decode arithmetic), written
+    straight into the thread's stage-1 buffer.
+
+    :return: (h, w) on success (+stats array when requested), None when the
+        module is unavailable or the frame failed to decode
+    """
+    core = _load()
+    av = _load_avdec()
+    if core is None or av is None:
+        return None
+    buf = _as_u8_buf(jpg)
+    dims = np.zeros(2, np.int64)
+    if av.avdec_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       len(buf),
+                       dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+        return None
+    h, w = int(dims[0]), int(dims[1])
+    gray_ptr = core.stage1_acquire_gray(h, w)
+    if not gray_ptr:
+        return None
+    if av.avdec_frame_to_gray(gray_ptr, h * w):
+        return None
+    stats = np.zeros(2, np.float64) if want_stats else None
+    core.stage1_run_from_gray(
+        h, w, 1 if need_mean else 0,
+        stats.ctypes.data_as(ctypes.c_void_p) if want_stats else None)
+    return ((h, w), stats) if want_stats else (h, w)
+
+
+def avdec_decode_bgr(jpg):
+    """Decode one JPEG chunk to a (h, w, 3) BGR frame via the avdec module
+    (used by the first-frame parity self-check). None on failure."""
+    av = _load_avdec()
+    if av is None:
+        return None
+    buf = _as_u8_buf(jpg)
+    dims = np.zeros(2, np.int64)
+    if av.avdec_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       len(buf),
+                       dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+        return None
+    h, w = int(dims[0]), int(dims[1])
+    out = np.empty((h, w, 3), np.uint8)
+    if av.avdec_frame_to_bgr(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size):
+        return None
+    return out
 
 
 def _dp(a):
