@@ -6,27 +6,36 @@
 // a full BGR Mat (3.4 MB at 1228x922) that the preprocessor immediately
 // reduces to gray. This module runs the SAME libraries directly on the
 // demuxed JPEG chunks and fuses the conversion: swscale emits BGR24 into a
-// 64-row band buffer (L2-resident) and the exact BGR2GRAY recipe
-// (gray_recipe.h) consumes the band in place — the full-frame BGR image
-// never exists, saving its DRAM round trip plus cv2's videoio overhead
-// (measured ~0.8 ms/frame at 1228x922 on one core).
+// thread-local scratch buffer and the exact BGR2GRAY recipe (gray_recipe.h)
+// consumes it in place — the Python-side frame object and cv2's videoio
+// Mat allocation/copy disappear (measured ~0.8 ms/frame at 1228x922).
 //
-// Bit-exactness is NOT assumed: the system libavcodec may differ from the
-// one cv2 bundles (different major version, different IDCT dispatch). The
-// caller (io/video.py) decodes the first frame through BOTH paths and
-// byte-compares the gray planes before committing to this module; any
-// mismatch falls back to cv2 for the whole file.
+// The ffmpeg functions are resolved at runtime via dlopen/dlsym, preferring
+// the libraries cv2 itself bundles (opencv_python.libs/libavcodec-*.so.*):
+// running cv2's own build guarantees the same decoder arithmetic AND is
+// measurably faster than the distro build (3.7 vs 4.15 ms/frame here).
+// Only the ABI-frozen prefixes of AVPacket (data/size) and AVFrame
+// (data/linesize/width/height/format) are touched, and an
+// avcodec_version() major-range gate rejects unknown layouts. System
+// sonames are the fallback when cv2's copies are absent.
+//
+// Bit-exactness is NOT assumed even then: the caller (io/video.py) decodes
+// the first frame through BOTH paths and byte-compares them before
+// committing to this module; any mismatch falls back to cv2 for the file.
 //
 // Built as its own shared library (libysmr_avdec.so) so the core runtime
-// keeps zero ffmpeg dependencies; loaded optionally via ctypes.
+// keeps zero ffmpeg dependencies (dev headers are only needed at compile
+// time for the struct definitions).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
+#include <dlfcn.h>
+
 extern "C" {
 #include <libavcodec/avcodec.h>
-#include <libavutil/imgutils.h>
 #include <libswscale/swscale.h>
 }
 
@@ -34,25 +43,99 @@ extern "C" {
 
 namespace {
 
+// avcodec majors whose AVPacket/AVFrame prefix layout matches the compile
+// headers (verified: data/size and data/linesize/width/height/format have
+// not moved across these); outside the range we refuse rather than risk it
+constexpr unsigned kMinAvcodecMajor = 58;
+constexpr unsigned kMaxAvcodecMajor = 62;
+
+struct AvApi {
+    void* h_avcodec = nullptr;
+    void* h_swscale = nullptr;
+    bool ready = false;
+
+    unsigned (*avcodec_version)(void) = nullptr;
+    const AVCodec* (*avcodec_find_decoder)(enum AVCodecID) = nullptr;
+    AVCodecContext* (*avcodec_alloc_context3)(const AVCodec*) = nullptr;
+    int (*avcodec_open2)(AVCodecContext*, const AVCodec*,
+                         AVDictionary**) = nullptr;
+    AVPacket* (*av_packet_alloc)(void) = nullptr;
+    AVFrame* (*av_frame_alloc)(void) = nullptr;
+    int (*avcodec_send_packet)(AVCodecContext*, const AVPacket*) = nullptr;
+    int (*avcodec_receive_frame)(AVCodecContext*, AVFrame*) = nullptr;
+    SwsContext* (*sws_getContext)(int, int, enum AVPixelFormat, int, int,
+                                  enum AVPixelFormat, int, SwsFilter*,
+                                  SwsFilter*, const double*) = nullptr;
+    int (*sws_scale)(SwsContext*, const uint8_t* const[], const int[], int,
+                     int, uint8_t* const[], const int[]) = nullptr;
+    void (*sws_freeContext)(SwsContext*) = nullptr;
+
+    template <typename T>
+    static bool sym(void* handle, const char* name, T& fn) {
+        fn = reinterpret_cast<T>(dlsym(handle, name));
+        return fn != nullptr;
+    }
+
+    bool load_from(const char* avcodec_path, const char* swscale_path) {
+        // RTLD_LOCAL keeps the chosen copy out of the global symbol scope
+        // (two ffmpeg builds coexist in this process when cv2 is loaded)
+        void* ha = dlopen(avcodec_path, RTLD_NOW | RTLD_LOCAL);
+        if (ha == nullptr) return false;
+        void* hs = dlopen(swscale_path, RTLD_NOW | RTLD_LOCAL);
+        if (hs == nullptr) { dlclose(ha); return false; }
+        AvApi tmp;
+        tmp.h_avcodec = ha;
+        tmp.h_swscale = hs;
+        bool ok = sym(ha, "avcodec_version", tmp.avcodec_version) &&
+                  sym(ha, "avcodec_find_decoder", tmp.avcodec_find_decoder) &&
+                  sym(ha, "avcodec_alloc_context3",
+                      tmp.avcodec_alloc_context3) &&
+                  sym(ha, "avcodec_open2", tmp.avcodec_open2) &&
+                  sym(ha, "av_packet_alloc", tmp.av_packet_alloc) &&
+                  sym(ha, "av_frame_alloc", tmp.av_frame_alloc) &&
+                  sym(ha, "avcodec_send_packet", tmp.avcodec_send_packet) &&
+                  sym(ha, "avcodec_receive_frame",
+                      tmp.avcodec_receive_frame) &&
+                  sym(hs, "sws_getContext", tmp.sws_getContext) &&
+                  sym(hs, "sws_scale", tmp.sws_scale) &&
+                  sym(hs, "sws_freeContext", tmp.sws_freeContext);
+        if (ok) {
+            const unsigned major = tmp.avcodec_version() >> 16;
+            ok = major >= kMinAvcodecMajor && major <= kMaxAvcodecMajor;
+        }
+        if (!ok) {
+            dlclose(ha);
+            dlclose(hs);
+            return false;
+        }
+        tmp.ready = true;
+        *this = tmp;
+        return true;
+    }
+};
+
+AvApi g_api;  // set once before any decoding thread starts
+
 struct AvState {
     AVCodecContext* ctx = nullptr;
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
     SwsContext* sws = nullptr;
     int sws_w = 0, sws_h = 0, sws_fmt = -1;
-    std::vector<uint8_t> band;    // 64-row BGR24 band buffer
+    std::vector<uint8_t> band;    // BGR24 scratch (over-allocated, see below)
     std::vector<uint8_t> padded;  // packet copy with the required padding
     bool failed = false;
 
     bool init() {
         if (ctx != nullptr || failed) return ctx != nullptr;
-        const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_MJPEG);
+        if (!g_api.ready) { failed = true; return false; }
+        const AVCodec* codec = g_api.avcodec_find_decoder(AV_CODEC_ID_MJPEG);
         if (codec == nullptr) { failed = true; return false; }
-        ctx = avcodec_alloc_context3(codec);
-        pkt = av_packet_alloc();
-        frame = av_frame_alloc();
+        ctx = g_api.avcodec_alloc_context3(codec);
+        pkt = g_api.av_packet_alloc();
+        frame = g_api.av_frame_alloc();
         if (ctx == nullptr || pkt == nullptr || frame == nullptr ||
-            avcodec_open2(ctx, codec, nullptr) < 0) {
+            g_api.avcodec_open2(ctx, codec, nullptr) < 0) {
             failed = true;
             return false;
         }
@@ -68,8 +151,36 @@ thread_local AvState tl_av;
 
 extern "C" {
 
+// Resolve the ffmpeg entry points. Tried in order: the caller-provided
+// library pair (cv2's bundled copies), then the system sonames. Returns 1
+// when an API is ready. Call once, from one thread, before decoding.
+int avdec_init(const char* avcodec_path, const char* swscale_path) {
+    if (g_api.ready) return 1;
+    if (avcodec_path != nullptr && swscale_path != nullptr &&
+        g_api.load_from(avcodec_path, swscale_path)) {
+        return 1;
+    }
+    if (g_api.load_from("libavcodec.so", "libswscale.so")) return 1;
+    // unversioned dev symlinks may be absent at runtime: try the majors in
+    // the supported range, newest first
+    char a[32], s[32];
+    for (unsigned major = kMaxAvcodecMajor; major >= kMinAvcodecMajor;
+         --major) {
+        std::snprintf(a, sizeof a, "libavcodec.so.%u", major);
+        // libswscale's major is avcodec's minus 53 (59->6, 60->7, ...)
+        std::snprintf(s, sizeof s, "libswscale.so.%u", major - 53);
+        if (g_api.load_from(a, s)) return 1;
+    }
+    return 0;
+}
+
+// Which avcodec build got loaded (0 when none): version as (major<<16|...).
+unsigned avdec_loaded_version(void) {
+    return g_api.ready ? g_api.avcodec_version() : 0;
+}
+
 int avdec_available(void) {
-    return tl_av.init() ? 1 : 0;
+    return g_api.ready && tl_av.init() ? 1 : 0;
 }
 
 // Decode one complete JPEG; returns 0 and the frame dims on success.
@@ -84,8 +195,8 @@ int avdec_decode(const uint8_t* jpg, int64_t size, int64_t* out_dims) {
     std::memset(av.padded.data() + size, 0, AV_INPUT_BUFFER_PADDING_SIZE);
     av.pkt->data = av.padded.data();
     av.pkt->size = static_cast<int>(size);
-    if (avcodec_send_packet(av.ctx, av.pkt) < 0) return 2;
-    if (avcodec_receive_frame(av.ctx, av.frame) < 0) return 3;
+    if (g_api.avcodec_send_packet(av.ctx, av.pkt) < 0) return 2;
+    if (g_api.avcodec_receive_frame(av.ctx, av.frame) < 0) return 3;
     if (av.frame->width <= 0 || av.frame->height <= 0 ||
         static_cast<int64_t>(av.frame->width) * av.frame->height >
             (int64_t(1) << 28)) {
@@ -97,7 +208,7 @@ int avdec_decode(const uint8_t* jpg, int64_t size, int64_t* out_dims) {
 }
 
 // Convert the held frame to the exact gray recipe applied to swscale's
-// BGR24 output, in 64-row bands. gray_cap guards the destination size.
+// BGR24 output. gray_cap guards the destination size.
 int avdec_frame_to_gray(uint8_t* gray, int64_t gray_cap) {
     AvState& av = tl_av;
     if (av.frame == nullptr || av.frame->width <= 0) return 1;
@@ -106,12 +217,12 @@ int avdec_frame_to_gray(uint8_t* gray, int64_t gray_cap) {
     if (static_cast<int64_t>(w) * h > gray_cap) return 2;
     if (av.sws == nullptr || av.sws_w != w || av.sws_h != h ||
         av.sws_fmt != av.frame->format) {
-        if (av.sws != nullptr) sws_freeContext(av.sws);
+        if (av.sws != nullptr) g_api.sws_freeContext(av.sws);
         // flags are irrelevant for the unscaled same-size converter, but
         // SWS_BICUBIC mirrors cv2's retrieveFrame call
-        av.sws = sws_getContext(w, h, static_cast<AVPixelFormat>(av.frame->format),
-                                w, h, AV_PIX_FMT_BGR24, SWS_BICUBIC,
-                                nullptr, nullptr, nullptr);
+        av.sws = g_api.sws_getContext(
+            w, h, static_cast<AVPixelFormat>(av.frame->format),
+            w, h, AV_PIX_FMT_BGR24, SWS_BICUBIC, nullptr, nullptr, nullptr);
         if (av.sws == nullptr) return 3;
         av.sws_w = w; av.sws_h = h; av.sws_fmt = av.frame->format;
     }
@@ -125,8 +236,8 @@ int avdec_frame_to_gray(uint8_t* gray, int64_t gray_cap) {
     av.band.resize(static_cast<size_t>(h) * w * 3 + 256);
     uint8_t* dst[4] = {av.band.data(), nullptr, nullptr, nullptr};
     int dstride[4] = {w * 3, 0, 0, 0};
-    const int done = sws_scale(av.sws, av.frame->data, av.frame->linesize,
-                               0, h, dst, dstride);
+    const int done = g_api.sws_scale(av.sws, av.frame->data,
+                                     av.frame->linesize, 0, h, dst, dstride);
     if (done != h) return 4;
     ysmr_gray::bgr_to_gray(av.band.data(), static_cast<int64_t>(h) * w, gray);
     return 0;
@@ -142,16 +253,16 @@ int avdec_frame_to_bgr(uint8_t* bgr, int64_t bgr_cap) {
     const int h = av.frame->height;
     const int64_t n = static_cast<int64_t>(w) * h * 3;
     if (n > bgr_cap) return 2;
-    SwsContext* sws = sws_getContext(
+    SwsContext* sws = g_api.sws_getContext(
         w, h, static_cast<AVPixelFormat>(av.frame->format),
         w, h, AV_PIX_FMT_BGR24, SWS_BICUBIC, nullptr, nullptr, nullptr);
     if (sws == nullptr) return 3;
     av.band.resize(static_cast<size_t>(n) + 256);
     uint8_t* dst[4] = {av.band.data(), nullptr, nullptr, nullptr};
     int dstride[4] = {w * 3, 0, 0, 0};
-    const int done = sws_scale(sws, av.frame->data, av.frame->linesize,
-                               0, h, dst, dstride);
-    sws_freeContext(sws);
+    const int done = g_api.sws_scale(sws, av.frame->data, av.frame->linesize,
+                                     0, h, dst, dstride);
+    g_api.sws_freeContext(sws);
     if (done != h) return 4;
     std::memcpy(bgr, av.band.data(), static_cast<size_t>(n));
     return 0;

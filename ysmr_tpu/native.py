@@ -146,11 +146,11 @@ def _load_avdec():
     if not os.path.isfile(path):
         return None
     try:
-        # RTLD_DEEPBIND: cv2 ships its own (symbol-unmangled) ffmpeg copy;
-        # without deep binding our libav calls can resolve into cv2's
-        # different-major-version libraries and corrupt the heap
-        deepbind = getattr(os, 'RTLD_DEEPBIND', 0x8)
-        lib = ctypes.CDLL(path, mode=ctypes.DEFAULT_MODE | deepbind)
+        lib = ctypes.CDLL(path)
+        lib.avdec_init.restype = ctypes.c_int
+        lib.avdec_init.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.avdec_loaded_version.restype = ctypes.c_uint
+        lib.avdec_loaded_version.argtypes = []
         lib.avdec_available.restype = ctypes.c_int
         lib.avdec_available.argtypes = []
         lib.avdec_decode.restype = ctypes.c_int
@@ -163,12 +163,38 @@ def _load_avdec():
         lib.avdec_frame_to_bgr.restype = ctypes.c_int
         lib.avdec_frame_to_bgr.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        av_path, sws_path = _cv2_bundled_ffmpeg()
+        if not lib.avdec_init(av_path, sws_path):
+            return None
         if not lib.avdec_available():
             return None
         _AVDEC = lib
     except (OSError, AttributeError):
         _AVDEC = None
     return _AVDEC
+
+
+def _cv2_bundled_ffmpeg():
+    """Paths of the libavcodec/libswscale copies cv2 ships with itself
+    (opencv_python.libs/), or (None, None).
+
+    Running cv2's own ffmpeg build guarantees the exact decoder arithmetic
+    the reference sees through cv2.VideoCapture, and wheels typically carry
+    a faster build than the distro (measured 3.7 vs 4.15 ms/frame here).
+    The first-frame byte-compare in io/video.py remains the authority.
+    """
+    try:
+        import glob
+        import cv2
+        libs_dir = os.path.join(os.path.dirname(os.path.abspath(cv2.__file__)),
+                                '..', 'opencv_python.libs')
+        avc = sorted(glob.glob(os.path.join(libs_dir, 'libavcodec*.so*')))
+        sws = sorted(glob.glob(os.path.join(libs_dir, 'libswscale*.so*')))
+        if avc and sws:
+            return avc[-1].encode(), sws[-1].encode()
+    except Exception:
+        pass
+    return None, None
 
 
 def avdec_available():
