@@ -918,7 +918,7 @@ extern "C" {
 // pixel wire in both cases).
 int64_t encode_runs_batch(const uint32_t* packed, const int32_t* counts,
                           int64_t t, int64_t f, uint32_t* out_runs,
-                          int64_t r, int32_t* out_counts) {
+                          int64_t r, int32_t* out_counts, int64_t w) {
     int64_t max_runs = 0;
     for (int64_t ti = 0; ti < t; ++ti) {
         const uint32_t* pp = packed + ti * f;
@@ -931,8 +931,16 @@ int64_t encode_runs_batch(const uint32_t* packed, const int32_t* counts,
             uint32_t lin = pp[i] & 0x7fffffffu;
             if (lin >= (1u << 26)) return -2;
             uint32_t marker = pp[i] >> 31;
+            // runs never cross a row boundary (w > 0): the device run-graph
+            // CC needs per-row intervals, and the split costs nothing (a
+            // wrap is a new run either way for any consumer)
+            int64_t cap = 31;
+            if (w > 0) {
+                int64_t room = w - static_cast<int64_t>(lin) % w;
+                if (room < cap) cap = room;
+            }
             int64_t len = 1;
-            while (len < 31 && i + len < n) {
+            while (len < cap && i + len < n) {
                 uint32_t q = pp[i + len];
                 if ((q & 0x7fffffffu) != lin + static_cast<uint32_t>(len) ||
                     (q >> 31) != marker)

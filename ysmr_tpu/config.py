@@ -77,6 +77,12 @@ _TPU_DEFAULTS = {
     # less traffic at dense scale, expanded back on device), 'pixels'
     # ships one word per pixel. 'runs' forces RLE where 'auto' would.
     'wire format': 'auto',
+    # labeling representation when the runs wire is active: 'auto' runs
+    # connected components directly on the (T, R) run tables on the TPU
+    # backend (ops/run_cc.py — no whole-frame raster, stencil passes, or
+    # pixel-table sort), 'on' forces it on any backend, 'off' keeps the
+    # whole-frame stencil labeling
+    'run cc': 'auto',
     # pack live tracker emissions into one buffer on device before readback
     # (tracker.compact_emissions_device). Pays on links where the
     # device-to-host direction is contended; on a full-duplex link the
@@ -560,6 +566,7 @@ def get_configs(tracking_ini_filepath=None):
             'luminosity window size': tpu_int('luminosity window size'),
             'cv2 exact rects': tpu_bool('cv2 exact rects'),
             'wire format': tpu.get('wire format', 'auto').strip().lower(),
+            'run cc': tpu.get('run cc', 'auto').strip().lower(),
             'compact emissions readback':
                 tpu_bool('compact emissions readback'),
             'profile stages': tpu_bool('profile stages'),

@@ -76,7 +76,7 @@ def _load():
         lib.encode_runs_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         lib.cv2_rects_batch.restype = ctypes.c_int
         lib.cv2_rects_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -612,7 +612,7 @@ def cv2_min_area_rect_single(pts_xy):
     return out
 
 
-def encode_runs_batch(px_packed, counts, out_runs, out_counts):
+def encode_runs_batch(px_packed, counts, out_runs, out_counts, w=0):
     """Run-length-encode a packed pixel wire batch (native encoder).
 
     Raster-order foreground pixels form horizontal runs; the run wire
@@ -624,6 +624,9 @@ def encode_runs_batch(px_packed, counts, out_runs, out_counts):
     :param counts: (T,) int32 valid pixels per frame
     :param out_runs: (T, R) uint32 output buffer (written in place)
     :param out_counts: (T,) int32 output runs per frame (written in place)
+    :param w: frame width; when > 0, runs additionally split at row
+        boundaries (required by the device run-graph CC, which consumes
+        runs as per-row x-intervals)
     :return: max runs in any frame; -1 if a frame overflows R; -2 if a
         linear index exceeds the 26-bit start field; None without the
         native library (callers use :func:`encode_runs_numpy`)
@@ -641,10 +644,10 @@ def encode_runs_batch(px_packed, counts, out_runs, out_counts):
         t, f,
         out_runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out_runs.shape[1],
-        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(w)))
 
 
-def encode_runs_numpy(px_packed, counts, out_runs, out_counts):
+def encode_runs_numpy(px_packed, counts, out_runs, out_counts, w=0):
     """Vectorised numpy fallback of :func:`encode_runs_batch` (same
     contract, same wire format)."""
     pp = np.asarray(px_packed, dtype=np.uint32)
@@ -662,9 +665,13 @@ def encode_runs_numpy(px_packed, counts, out_runs, out_counts):
             return -2
         marker = (row >> np.uint32(31)).astype(np.int64)
         idx = np.arange(n, dtype=np.int64)
-        # natural boundaries: non-consecutive lin or marker change
+        # natural boundaries: non-consecutive lin or marker change; with a
+        # known width also any pixel starting an image row (run-graph CC
+        # consumes runs as per-row x-intervals)
         nat = np.ones(n, bool)
         nat[1:] = (np.diff(lin) != 1) | (np.diff(marker) != 0)
+        if w > 0:
+            nat |= (lin % w) == 0
         # split runs longer than 31: boundary whenever the offset within
         # the natural run hits a multiple of 31
         run_start = np.maximum.accumulate(np.where(nat, idx, 0))

@@ -35,13 +35,14 @@ _RUNS_DELTA_RASTER = True
                                    'max_bh', 'cc_iters', 'include_luminosity',
                                    'lum_win', 'use_pallas', 'use_table',
                                    'return_det_px', 'skip_rect',
-                                   'expanded_f'))
+                                   'expanded_f', 'use_run_cc'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None, lum_win=48,
                        gray_frames=None, use_pallas=False, use_table=False,
                        px_packed=None, return_det_px=False, skip_rect=False,
-                       px_runs=None, run_counts=None, expanded_f=None):
+                       px_runs=None, run_counts=None, expanded_f=None,
+                       use_run_cc=False):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -82,6 +83,47 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         n_components (T,) [, det_px_idx (T, F)]
     """
     n = h * w
+    if px_runs is not None and use_run_cc and not include_luminosity:
+        # run-graph CC: labeling + marker reconstruction directly on the
+        # (T, R) run tables (ops/run_cc.py) — no whole-frame raster, no
+        # stencil passes, no (T, F) label sort. Pixel tables materialize
+        # only where a consumer needs them (det_px expansion / stats path).
+        from ysmr_tpu.ops import run_cc as rcc
+        f = expanded_f
+        rc_eff = jnp.where(frame_valid, run_counts.astype(jnp.int32), 0)
+        cc_out = rcc.run_cc_components(px_runs, rc_eff, w=w,
+                                       double_threshold=double_threshold,
+                                       max_iters=cc_iters)
+        n_components = cc_out['n_components']
+        det_px = None
+        if return_det_px:
+            comp_rev_run = jnp.where(
+                cc_out['run_comp'] >= 0,
+                n_components[:, None] - 1 - cc_out['run_comp'], -1)
+            det_px = rcc.det_px_from_runs(px_runs, rc_eff, comp_rev_run,
+                                          f=f, max_det=max_det)
+        if skip_rect:
+            t = px_runs.shape[0]
+            det_valid = jnp.arange(max_det, dtype=jnp.int32)[None, :] < \
+                jnp.minimum(n_components, max_det)[:, None]
+            out = {'det_xy': jnp.zeros((t, max_det, 2), jnp.float32),
+                   'det_info': jnp.zeros((t, max_det, 3), jnp.float32),
+                   'det_valid': det_valid, 'n_components': n_components}
+            if return_det_px:
+                out['det_px_idx'] = det_px.astype(jnp.int16)
+            return out
+        comp_rev_s = jnp.where(
+            cc_out['s_comp'] >= 0,
+            n_components[:, None] - 1 - cc_out['s_comp'], -1)
+        px_x, px_y, seg, keep = rcc.expand_sorted_runs(
+            cc_out['s_start'], cc_out['s_len'], comp_rev_s,
+            f=f, w=w, max_det=max_det)
+        return _stats_outputs(
+            seg, keep, px_x, px_y, jnp.zeros_like(px_x), None,
+            n_components, det_px,
+            h=h, w=w, max_det=max_det, max_bh=max_bh,
+            include_luminosity=False, exact_lum=False, lum_win=lum_win,
+            use_pallas=use_pallas, stats_sorted=True)
     if px_runs is not None:
         # expand the run wire to the (T, F) pixel table. The linear index
         # needs NO per-pixel gather: within a run lin increments by one,
@@ -379,6 +421,25 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     # scans + one packed scatter instead of combiner-scatter segment
     # reductions (bit-identical; ~13x cheaper on TPU)
     stats_sorted = bool((use_pallas or _FORCE_SORT_COMPACT) and not use_table)
+    return _stats_outputs(
+        seg, keep, px_x, px_y, gray_in,
+        gray_frames if exact_lum else None, n_components,
+        det_px if return_det_px else None,
+        h=h, w=w, max_det=max_det, max_bh=max_bh,
+        include_luminosity=include_luminosity, exact_lum=exact_lum,
+        lum_win=lum_win, use_pallas=use_pallas, stats_sorted=stats_sorted)
+
+
+def _stats_outputs(seg, keep, px_x, px_y, gray_in, gray_frames, n_components,
+                   det_px, *, h, w, max_det, max_bh, include_luminosity,
+                   exact_lum, lum_win, use_pallas, stats_sorted):
+    """Shared detect tail: per-component rect/luminosity tables -> out dict.
+
+    Consumes (T, F) pixel tables (``seg`` = dense component id, background =
+    max_det) in any order — or (component, lin)-sorted order when
+    ``stats_sorted`` (cheaper scan-based row tables).
+    """
+    t = seg.shape[0]
 
     def per_frame_stats(seg_f, keep_f, px_x_f, px_y_f, gray_f, frame_gray):
         tables = lb.component_stats(
@@ -421,6 +482,6 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
     det_info = jnp.where(det_valid[..., None], det_info, 0.0)
     out = {'det_xy': det_xy, 'det_info': det_info, 'det_valid': det_valid,
            'n_components': n_components}
-    if return_det_px:
+    if det_px is not None:
         out['det_px_idx'] = det_px.astype(jnp.int16)
     return out

@@ -329,6 +329,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     wire_format = str(settings.get('wire format', 'auto')).lower()
     use_runs_wire = (transfer_mode == 'pixels' and wire_format != 'pixels'
                      and frame_height * frame_width < (1 << 26))
+    # run-graph CC (ops/run_cc.py): label directly on the run tables instead
+    # of rasterizing + stencil-labeling whole frames; 'auto' enables it with
+    # the Pallas/TPU path wherever the runs wire is active
+    run_cc_mode = str(settings.get('run cc', 'auto')).lower()
+    use_run_cc = use_runs_wire and (
+        run_cc_mode == 'on' or (run_cc_mode == 'auto' and use_pallas))
     runs_buf = runs_cnt = None
     runs_bucket = 512
 
@@ -340,10 +346,11 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         if runs_buf is None or runs_buf.shape != (b, fcap):
             runs_buf = np.zeros((b, fcap), np.uint32)
             runs_cnt = np.zeros(b, np.int32)
-        ret = nat.encode_runs_batch(packed_np, counts_np, runs_buf, runs_cnt)
+        ret = nat.encode_runs_batch(packed_np, counts_np, runs_buf, runs_cnt,
+                                    w=frame_width)
         if ret is None:
             ret = nat.encode_runs_numpy(packed_np, counts_np, runs_buf,
-                                        runs_cnt)
+                                        runs_cnt, w=frame_width)
         if ret is None or ret < 0:
             return None
         if ret > runs_bucket:
@@ -664,7 +671,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     if config.include_luminosity and not use_host_rects
                     and 'px_gray' in data else None,
                     use_pallas=use_pallas, use_table=use_table_cc,
-                    return_det_px=use_host_rects, skip_rect=use_host_rects)
+                    return_det_px=use_host_rects, skip_rect=use_host_rects,
+                    use_run_cc=use_run_cc)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state,
