@@ -207,6 +207,7 @@ def measure_device_only(clip, n_batches=4, reps=5):
     """
     import jax
     import jax.numpy as jnp
+    from ysmr_tpu import native as nat
     from ysmr_tpu.io.preproc import HostPreprocessor
     from ysmr_tpu.io.video import BatchedVideoReader
     from ysmr_tpu.ops import gsff as gsff_ops
@@ -215,6 +216,11 @@ def measure_device_only(clip, n_batches=4, reps=5):
 
     settings = bench_settings()
     batch_size = settings['frame batch size']
+    use_pallas = jax.default_backend() == 'tpu'
+    # mirror the deployed pixels path: run-length wire + run-graph CC on the
+    # TPU (track_bacteria's 'wire format'/'run cc' auto resolution) so the
+    # device-only number measures the kernels production actually runs
+    use_runs = use_pallas and H * W < (1 << 26)
     pre = HostPreprocessor(settings, FPS,
                            max_fg=settings['max foreground pixels per frame'])
     reader = BatchedVideoReader(clip, batch_size=batch_size, prefetch=2,
@@ -225,12 +231,27 @@ def measure_device_only(clip, n_batches=4, reps=5):
             break
         data = batch['frames']
         dev = {k: jax.device_put(v) for k, v in data.items()}
+        if use_runs and 'px_packed' in data:
+            fcap = data['px_packed'].shape[1]
+            runs_buf = np.zeros_like(data['px_packed'])
+            runs_cnt = np.zeros(batch_size, np.int32)
+            ret = nat.encode_runs_batch(data['px_packed'], data['count'],
+                                        runs_buf, runs_cnt, w=W)
+            if ret is None:
+                ret = nat.encode_runs_numpy(data['px_packed'], data['count'],
+                                            runs_buf, runs_cnt, w=W)
+            if ret is not None and ret >= 0:
+                bucket = 1 << max(int(ret) - 1, 0).bit_length()
+                dev['px_runs'] = jax.device_put(
+                    runs_buf[:, :min(fcap, max(bucket, 512))].copy())
+                dev['run_counts'] = jax.device_put(runs_cnt.copy())
+                dev['expanded_f'] = fcap
+                del dev['px_packed']
         staged.append(dev)
         if len(staged) >= n_batches:
             break
     del reader
     assert staged, 'no full batches staged'
-    use_pallas = jax.default_backend() == 'tpu'
     frame_valid = jnp.ones((batch_size,), bool)
     params = gsff_ops.GSFFParams(fps=FPS,
                                  n_min=settings['minimum horizon size'],
@@ -255,7 +276,11 @@ def measure_device_only(clip, n_batches=4, reps=5):
             tables = detect_from_pixels(
                 dev.get('px_x'), dev.get('px_y'), dev['count'],
                 dev.get('px_marker'), frame_valid,
-                px_packed=dev.get('px_packed'), **det_kwargs)
+                px_packed=dev.get('px_packed'),
+                px_runs=dev.get('px_runs'),
+                run_counts=dev.get('run_counts'),
+                expanded_f=dev.get('expanded_f'),
+                use_run_cc=dev.get('px_runs') is not None, **det_kwargs)
             state, em = trk.run_tracker_scan(
                 state, tables['det_xy'], tables['det_info'],
                 tables['det_valid'], **tracker_kwargs)
@@ -278,14 +303,19 @@ def measure_host_floor(clip):
     decode (not the chip) bounds e2e throughput on this host.
 
     Measures (a) a bare ``cap.read()`` loop (FFmpeg MJPG decode + BGR
-    conversion, the reference's own decode path — bit-parity requires it,
-    see io/video.py MjpgAviDemuxer notes) and (b) the same loop plus the
-    AVX-512 host preprocessing that produces the pixel wire. The host must
-    execute both serially on its one core, so 1000/(decode+preproc) ms is
-    the hard e2e ceiling; the recorded e2e efficiency is value/floor.
+    conversion, the reference's own decode path), (b) the same loop plus the
+    AVX-512 host preprocessing that produces the pixel wire, and (c) the
+    ACTIVE deployed host path — an inline pass of BatchedVideoReader with
+    the preprocessor attached, which engages the fused libav exact decode
+    (native/avdec.cpp: cap.read()-byte-identical, skips cv2's videoio Mat
+    round trip) when the open-time self-check passes. The host must execute
+    decode+preproc serially on its one core, so the active path's per-frame
+    cost is the hard e2e ceiling; the recorded e2e efficiency is
+    value/floor.
     """
     import cv2
     from ysmr_tpu.io.preproc import HostPreprocessor
+    from ysmr_tpu.io.video import BatchedVideoReader
 
     settings = bench_settings()
     times = {}
@@ -307,11 +337,26 @@ def measure_host_floor(clip):
         dt = time.perf_counter() - t0
         cap.release()
         times['decode_preproc' if with_pre else 'decode'] = dt / max(n, 1)
-    floor = 1.0 / times['decode_preproc']
+    # (c) the deployed path: fused avdec decode straight into the native
+    # preprocessing buffers when available, else identical to (b)
+    pre = HostPreprocessor(settings, FPS,
+                           max_fg=settings['max foreground pixels per frame'])
+    reader = BatchedVideoReader(clip, batch_size=64, prefetch=2,
+                                preprocess=pre, decode_mode='exact',
+                                threaded=False)
+    fused = reader._exact_fused
+    n = 0
+    t0 = time.perf_counter()
+    for batch in reader:
+        n += batch['count']
+    times['active'] = (time.perf_counter() - t0) / max(n, 1)
+    floor = 1.0 / min(times['active'], times['decode_preproc'])
     return {
         'host_decode_ms_per_frame': round(times['decode'] * 1e3, 2),
         'host_decode_preproc_ms_per_frame':
             round(times['decode_preproc'] * 1e3, 2),
+        'host_active_path_ms_per_frame': round(times['active'] * 1e3, 2),
+        'exact_fused_decode': bool(fused),
         'host_floor_fps': round(floor, 1),
     }
 
