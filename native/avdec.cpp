@@ -27,9 +27,11 @@
 // keeps zero ffmpeg dependencies (dev headers are only needed at compile
 // time for the struct definitions).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #include <dlfcn.h>
@@ -147,6 +149,376 @@ struct AvState {
 // held frame must survive between avdec_decode and avdec_frame_to_gray
 thread_local AvState tl_av;
 
+// ---------------------------------------------------------------------------
+// Gray-content fast path.
+//
+// Grayscale content stored as MJPG (the common case for microscopy cameras)
+// decodes to U/V planes that take at most two distinct constants — ffmpeg's
+// own mjpeg encoder rounds gray input to chroma 127 or 128 depending on the
+// gray value. swscale's unscaled planar-YUV -> BGR24 converter is pointwise
+// in luma and block-replicated in chroma, so over such frames the whole
+// yuv -> swscale BGR24 -> exact-gray chain collapses to
+// gray(x, y) = LUT[U_blk, V_blk][Y(x, y)]. None of that is assumed — it is
+// established at runtime, per (w, h, pix_fmt, chroma value set), by running
+// the REAL swscale converter over (a) 256 full-size constant-Y frames for
+// EACH (u, v) combination, verifying the output at EVERY pixel position
+// (rules out any positional term such as dithering), (b) one dense
+// varying-Y pattern per combination (rules out cross-pixel luma filtering),
+// and (c) a mixed chroma-checkerboard frame (rules out chroma
+// interpolation across blocks). Only if every byte of every probe matches
+// does the fast path arm; frames whose chroma has >2 values per plane (real
+// color content) always take the full swscale path. The per-file
+// first-frame byte-compare against cv2 (io/video.py) remains the outer
+// guard.
+struct ProvenGray {
+    int w = 0, h = 0, fmt = -1;
+    int n_u = 0, n_v = 0;
+    uint8_t uvals[2] = {0, 0}, vvals[2] = {0, 0};
+    bool ok = false;
+    alignas(64) uint8_t lut[2][2][256];  // [u index][v index][Y]
+};
+
+// swapped under g_prove_mu, read lock-free; superseded sets are retired to
+// a keep-alive list rather than freed (another decode thread may still be
+// applying one; geometry changes are rare so the list stays tiny)
+std::atomic<const ProvenGray*> g_proven{nullptr};
+std::mutex g_prove_mu;
+std::vector<const ProvenGray*> g_retired;
+std::atomic<long> g_gray_fast_frames{0};
+
+// chroma subsampling shifts for the formats the fast path understands;
+// false for anything else (incl. non-planar or >8-bit formats)
+bool chroma_shifts(int fmt, int* hsub, int* vsub) {
+    switch (fmt) {
+        case AV_PIX_FMT_YUV420P:
+        case AV_PIX_FMT_YUVJ420P:
+            *hsub = 1; *vsub = 1; return true;
+        case AV_PIX_FMT_YUV422P:
+        case AV_PIX_FMT_YUVJ422P:
+            *hsub = 1; *vsub = 0; return true;
+        case AV_PIX_FMT_YUV444P:
+        case AV_PIX_FMT_YUVJ444P:
+            *hsub = 0; *vsub = 0; return true;
+        default:
+            return false;
+    }
+}
+
+void chroma_plane_dims(int w, int h, int hsub, int vsub, int* cw, int* ch) {
+    *cw = (w + (1 << hsub) - 1) >> hsub;
+    *ch = (h + (1 << vsub) - 1) >> vsub;
+}
+
+// Distinct values of one chroma plane, up to two; false when a third
+// appears (real color content — fast path ineligible).
+bool scan_plane_values(const uint8_t* p, int stride, int w, int h,
+                       uint8_t vals[2], int* n_vals) {
+    int n = 0;
+    uint8_t v0 = 0, v1 = 0;
+    for (int y = 0; y < h; ++y, p += stride) {
+        int x = 0;
+#if defined(__AVX512BW__)
+        __m512i z0 = _mm512_set1_epi8(static_cast<char>(v0));
+        __m512i z1 = _mm512_set1_epi8(static_cast<char>(v1));
+        for (; x + 64 <= w;) {
+            const __m512i q = _mm512_loadu_si512(p + x);
+            __mmask64 known = _mm512_cmpeq_epi8_mask(q, z0);
+            if (n == 2) known |= _mm512_cmpeq_epi8_mask(q, z1);
+            if (n != 0 && known == ~__mmask64(0)) {
+                x += 64;
+                continue;
+            }
+            const uint8_t b = p[x + (n == 0 ? 0 : _tzcnt_u64(~known))];
+            if (n == 0) {
+                v0 = b; n = 1;
+            } else if (n == 1) {
+                v1 = b; n = 2;
+            } else {
+                return false;
+            }
+            z0 = _mm512_set1_epi8(static_cast<char>(v0));
+            z1 = _mm512_set1_epi8(static_cast<char>(v1));
+        }
+#endif
+        for (; x < w; ++x) {
+            const uint8_t b = p[x];
+            if (n != 0 && (b == v0 || (n == 2 && b == v1))) continue;
+            if (n == 0) {
+                v0 = b; n = 1;
+            } else if (n == 1) {
+                v1 = b; n = 2;
+            } else {
+                return false;
+            }
+        }
+    }
+    vals[0] = v0;
+    vals[1] = n == 2 ? v1 : v0;
+    *n_vals = n == 0 ? 1 : n;  // empty plane cannot happen for real frames
+    return true;
+}
+
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__)
+// one 256-entry LUT lookup of 64 bytes: vpermi2b indexes 128 bytes by the
+// low 7 bits; the high bit selects which half-table's result survives
+inline __m512i lut256(__m512i x, __mmask64 top, const __m512i t[4]) {
+    __m512i lo = _mm512_permutex2var_epi8(t[0], x, t[1]);
+    __m512i hi = _mm512_permutex2var_epi8(t[2], x, t[3]);
+    return _mm512_mask_blend_epi8(top, lo, hi);
+}
+#endif
+
+// gray = lut[sel][y] over the luma plane, sel per chroma block: the
+// per-pixel "second chroma value" selector masks come straight from
+// compare + pdep bit-doubling on the chroma rows (no materialised selector
+// rows).
+void apply_gray_lut(const AVFrame* f, const ProvenGray& pg, uint8_t* out) {
+    const int w = f->width, h = f->height;
+    int hsub = 0, vsub = 0;
+    chroma_shifts(f->format, &hsub, &vsub);
+    const uint8_t* yp = f->data[0];
+    const bool multi = pg.n_u == 2 || pg.n_v == 2;
+    for (int y = 0; y < h; ++y, yp += f->linesize[0], out += w) {
+        const int cy = y >> vsub;
+        const uint8_t* up =
+            f->data[1] + static_cast<int64_t>(cy) * f->linesize[1];
+        const uint8_t* vp =
+            f->data[2] + static_cast<int64_t>(cy) * f->linesize[2];
+        int64_t i = 0;
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__) && \
+    defined(__AVX512VL__) && defined(__BMI2__)
+        __m512i t[2][2][4];
+        for (int a = 0; a < (multi ? 2 : 1); ++a) {
+            for (int b = 0; b < (multi ? 2 : 1); ++b) {
+                for (int k = 0; k < 4; ++k) {
+                    t[a][b][k] =
+                        _mm512_loadu_si512(pg.lut[a][b] + 64 * k);
+                }
+            }
+        }
+        if (!multi) {
+            for (; i + 64 <= w; i += 64) {
+                __m512i x = _mm512_loadu_si512(yp + i);
+                __mmask64 top = _mm512_movepi8_mask(x);
+                _mm512_storeu_si512(out + i, lut256(x, top, t[0][0]));
+            }
+        } else {
+            const __m256i u1 =
+                _mm256_set1_epi8(static_cast<char>(pg.uvals[1]));
+            const __m256i v1 =
+                _mm256_set1_epi8(static_cast<char>(pg.vvals[1]));
+            for (; i + 64 <= w; i += 64) {
+                __m512i x = _mm512_loadu_si512(yp + i);
+                __mmask64 top = _mm512_movepi8_mask(x);
+                __mmask64 mu, mv;
+                if (hsub != 0) {
+                    // 32 chroma samples cover these 64 pixels; double each
+                    // compare bit into a pixel-pair mask
+                    const __m256i uc = _mm256_loadu_si256(
+                        reinterpret_cast<const __m256i*>(up + (i >> 1)));
+                    const __m256i vc = _mm256_loadu_si256(
+                        reinterpret_cast<const __m256i*>(vp + (i >> 1)));
+                    const uint64_t su = _pdep_u64(
+                        _mm256_cmpeq_epi8_mask(uc, u1),
+                        0x5555555555555555ull);
+                    const uint64_t sv = _pdep_u64(
+                        _mm256_cmpeq_epi8_mask(vc, v1),
+                        0x5555555555555555ull);
+                    mu = su | (su << 1);
+                    mv = sv | (sv << 1);
+                } else {
+                    mu = _mm512_cmpeq_epi8_mask(
+                        _mm512_loadu_si512(up + i),
+                        _mm512_broadcast_i32x4(_mm256_castsi256_si128(u1)));
+                    mv = _mm512_cmpeq_epi8_mask(
+                        _mm512_loadu_si512(vp + i),
+                        _mm512_broadcast_i32x4(_mm256_castsi256_si128(v1)));
+                }
+                __m512i r0 = _mm512_mask_blend_epi8(
+                    mv, lut256(x, top, t[0][0]), lut256(x, top, t[0][1]));
+                __m512i r1 = _mm512_mask_blend_epi8(
+                    mv, lut256(x, top, t[1][0]), lut256(x, top, t[1][1]));
+                _mm512_storeu_si512(out + i,
+                                    _mm512_mask_blend_epi8(mu, r0, r1));
+            }
+        }
+#endif
+        if (!multi) {
+            for (; i < w; ++i) {
+                out[i] = pg.lut[0][0][yp[i]];
+            }
+        } else {
+            for (; i < w; ++i) {
+                const int cx = static_cast<int>(i) >> hsub;
+                out[i] = pg.lut[up[cx] == pg.uvals[1]]
+                               [vp[cx] == pg.vvals[1]][yp[i]];
+            }
+        }
+    }
+}
+
+// Run the real converter on synthetic probe frames to derive and verify
+// the per-(u, v) LUTs; fills pg.lut and sets pg.ok.
+void prove_gray_identity(ProvenGray& pg) {
+    pg.ok = false;
+    int hsub = 0, vsub = 0;
+    if (!chroma_shifts(pg.fmt, &hsub, &vsub)) return;
+    int cw = 0, ch = 0;
+    chroma_plane_dims(pg.w, pg.h, hsub, vsub, &cw, &ch);
+    SwsContext* sws = g_api.sws_getContext(
+        pg.w, pg.h, static_cast<AVPixelFormat>(pg.fmt),
+        pg.w, pg.h, AV_PIX_FMT_BGR24, SWS_BICUBIC, nullptr, nullptr,
+        nullptr);
+    if (sws == nullptr) return;
+    const int w = pg.w, h = pg.h;
+    const int64_t n = static_cast<int64_t>(w) * h;
+    const size_t cn = static_cast<size_t>(cw) * ch;
+    std::vector<uint8_t> yp(n), up(cn), vp(cn), bgr(n * 3 + 256), gray(n);
+    const uint8_t* src[4] = {yp.data(), up.data(), vp.data(), nullptr};
+    int sstride[4] = {w, cw, cw, 0};
+    uint8_t* dst[4] = {bgr.data(), nullptr, nullptr, nullptr};
+    int dstride[4] = {w * 3, 0, 0, 0};
+    const auto dense_y = [&]() {
+        uint32_t s = 0x9e3779b9u;
+        for (int64_t i = 0; i < n; ++i) {
+            s = s * 1664525u + 1013904223u;
+            yp[i] = static_cast<uint8_t>((s >> 24) ^ (i & 0xff));
+        }
+    };
+    bool ok = true;
+    for (int a = 0; a < pg.n_u && ok; ++a) {
+        for (int b = 0; b < pg.n_v && ok; ++b) {
+            std::memset(up.data(), pg.uvals[a], cn);
+            std::memset(vp.data(), pg.vvals[b], cn);
+            uint8_t* lut = pg.lut[a][b];
+            // (a) every Y value at every position, constant chroma
+            for (int v = 0; v < 256 && ok; ++v) {
+                std::memset(yp.data(), v, n);
+                if (g_api.sws_scale(sws, src, sstride, 0, h, dst,
+                                    dstride) != h) {
+                    ok = false;
+                    break;
+                }
+                ysmr_gray::bgr_to_gray(bgr.data(), n, gray.data());
+                lut[v] = gray[0];
+                for (int64_t i = 0; i < n; ++i) {
+                    if (gray[i] != lut[v]) { ok = false; break; }
+                }
+            }
+            // (b) dense varying Y: refutes cross-pixel luma filtering
+            if (ok) {
+                dense_y();
+                ok = g_api.sws_scale(sws, src, sstride, 0, h, dst,
+                                     dstride) == h;
+                if (ok) {
+                    ysmr_gray::bgr_to_gray(bgr.data(), n, gray.data());
+                    for (int64_t i = 0; i < n; ++i) {
+                        if (gray[i] != lut[yp[i]]) { ok = false; break; }
+                    }
+                }
+            }
+        }
+    }
+    // (c) mixed chroma checkerboard + dense Y: refutes chroma
+    // interpolation/bleed across blocks (the converter must replicate each
+    // chroma sample over its own block only)
+    if (ok && (pg.n_u == 2 || pg.n_v == 2)) {
+        dense_y();
+        for (int cy = 0; cy < ch; ++cy) {
+            for (int cx = 0; cx < cw; ++cx) {
+                up[static_cast<size_t>(cy) * cw + cx] =
+                    pg.uvals[(cx + cy) & (pg.n_u - 1)];
+                vp[static_cast<size_t>(cy) * cw + cx] =
+                    pg.vvals[(cx + (cy >> 1)) & (pg.n_v - 1)];
+            }
+        }
+        ok = g_api.sws_scale(sws, src, sstride, 0, h, dst, dstride) == h;
+        if (ok) {
+            ysmr_gray::bgr_to_gray(bgr.data(), n, gray.data());
+            for (int64_t i = 0; i < n && ok; ++i) {
+                const int x = static_cast<int>(i % w);
+                const int y = static_cast<int>(i / w);
+                const int cx = x >> hsub, cy = y >> vsub;
+                const uint8_t* lut =
+                    pg.lut[(cx + cy) & (pg.n_u - 1)]
+                          [(cx + (cy >> 1)) & (pg.n_v - 1)];
+                if (gray[i] != lut[yp[i]]) ok = false;
+            }
+        }
+    }
+    g_api.sws_freeContext(sws);
+    pg.ok = ok;
+}
+
+// The proven set matching the held frame, or nullptr. Scans the chroma
+// planes (<= 2 distinct values each, else ineligible) and arms the proof
+// on first sight of a new (geometry, chroma set) combination.
+const ProvenGray* gray_fast_eligible(AvState& av) {
+    const int w = av.frame->width, h = av.frame->height;
+    const int fmt = av.frame->format;
+    int hsub = 0, vsub = 0;
+    if (!chroma_shifts(fmt, &hsub, &vsub)) return nullptr;
+    if (av.frame->data[1] == nullptr || av.frame->data[2] == nullptr) {
+        return nullptr;
+    }
+    int cw = 0, ch = 0;
+    chroma_plane_dims(w, h, hsub, vsub, &cw, &ch);
+    uint8_t uvals[2], vvals[2];
+    int n_u = 0, n_v = 0;
+    if (!scan_plane_values(av.frame->data[1], av.frame->linesize[1], cw, ch,
+                           uvals, &n_u) ||
+        !scan_plane_values(av.frame->data[2], av.frame->linesize[2], cw, ch,
+                           vvals, &n_v)) {
+        return nullptr;
+    }
+    // the frame's chroma values must be a SUBSET of the proven set (apply
+    // compares the actual chroma bytes against the set's values, so a
+    // single-value frame runs fine under a two-value proof)
+    const auto subset = [](const uint8_t* fv, int fn, const uint8_t* pv,
+                           int pn) {
+        for (int i = 0; i < fn; ++i) {
+            bool found = false;
+            for (int j = 0; j < pn; ++j) found |= fv[i] == pv[j];
+            if (!found) return false;
+        }
+        return true;
+    };
+    const auto matches = [&](const ProvenGray* pg) {
+        return pg != nullptr && pg->w == w && pg->h == h &&
+               pg->fmt == fmt && subset(uvals, n_u, pg->uvals, pg->n_u) &&
+               subset(vvals, n_v, pg->vvals, pg->n_v);
+    };
+    const ProvenGray* cur = g_proven.load(std::memory_order_acquire);
+    if (matches(cur)) return cur->ok ? cur : nullptr;
+    std::lock_guard<std::mutex> lock(g_prove_mu);
+    cur = g_proven.load(std::memory_order_relaxed);
+    if (matches(cur)) return cur->ok ? cur : nullptr;
+    ProvenGray* pg = new ProvenGray();
+    pg->w = w; pg->h = h; pg->fmt = fmt;
+    pg->n_u = n_u; pg->n_v = n_v;
+    pg->uvals[0] = uvals[0]; pg->uvals[1] = uvals[1];
+    pg->vvals[0] = vvals[0]; pg->vvals[1] = vvals[1];
+    // merge the superseded set's values (same geometry) so alternating
+    // single-value frames cannot thrash re-proofs
+    if (cur != nullptr && cur->w == w && cur->h == h && cur->fmt == fmt) {
+        const auto merge = [](uint8_t* vals, int* n, const uint8_t* old,
+                              int n_old) {
+            for (int i = 0; i < n_old && *n < 2; ++i) {
+                bool present = false;
+                for (int j = 0; j < *n; ++j) present |= old[i] == vals[j];
+                if (!present) vals[(*n)++] = old[i];
+            }
+            if (*n == 1) vals[1] = vals[0];
+        };
+        merge(pg->uvals, &pg->n_u, cur->uvals, cur->n_u);
+        merge(pg->vvals, &pg->n_v, cur->vvals, cur->n_v);
+    }
+    prove_gray_identity(*pg);
+    if (cur != nullptr) g_retired.push_back(cur);
+    g_proven.store(pg, std::memory_order_release);
+    return pg->ok ? pg : nullptr;
+}
+
 }  // namespace
 
 extern "C" {
@@ -215,6 +587,11 @@ int avdec_frame_to_gray(uint8_t* gray, int64_t gray_cap) {
     const int w = av.frame->width;
     const int h = av.frame->height;
     if (static_cast<int64_t>(w) * h > gray_cap) return 2;
+    if (const ProvenGray* pg = gray_fast_eligible(av)) {
+        apply_gray_lut(av.frame, *pg, gray);
+        g_gray_fast_frames.fetch_add(1, std::memory_order_relaxed);
+        return 0;
+    }
     if (av.sws == nullptr || av.sws_w != w || av.sws_h != h ||
         av.sws_fmt != av.frame->format) {
         if (av.sws != nullptr) g_api.sws_freeContext(av.sws);
@@ -241,6 +618,56 @@ int avdec_frame_to_gray(uint8_t* gray, int64_t gray_cap) {
     if (done != h) return 4;
     ysmr_gray::bgr_to_gray(av.band.data(), static_cast<int64_t>(h) * w, gray);
     return 0;
+}
+
+// Diagnostics: pixel format, luma/chroma linesizes, and the first chroma
+// bytes of the held frame (out must hold 8 int64).
+int avdec_frame_info(int64_t* out) {
+    AvState& av = tl_av;
+    if (av.frame == nullptr || av.frame->width <= 0) return 1;
+    out[0] = av.frame->format;
+    out[1] = av.frame->linesize[0];
+    out[2] = av.frame->linesize[1];
+    out[3] = av.frame->linesize[2];
+    out[4] = av.frame->data[1] != nullptr ? av.frame->data[1][0] : -1;
+    out[5] = av.frame->data[2] != nullptr ? av.frame->data[2][0] : -1;
+    out[6] = av.frame->width;
+    out[7] = av.frame->height;
+    return 0;
+}
+
+// Diagnostics: value histograms of the held frame's U and V planes
+// (out: 2x256 int64, U then V).
+int avdec_chroma_histogram(int64_t* out) {
+    AvState& av = tl_av;
+    if (av.frame == nullptr || av.frame->width <= 0) return 1;
+    int hsub = 0, vsub = 0;
+    if (!chroma_shifts(av.frame->format, &hsub, &vsub)) return 2;
+    int cw = 0, ch = 0;
+    chroma_plane_dims(av.frame->width, av.frame->height, hsub, vsub, &cw,
+                      &ch);
+    std::memset(out, 0, 2 * 256 * sizeof(int64_t));
+    for (int plane = 1; plane <= 2; ++plane) {
+        const uint8_t* p = av.frame->data[plane];
+        if (p == nullptr) return 3;
+        int64_t* hist = out + (plane - 1) * 256;
+        for (int y = 0; y < ch; ++y, p += av.frame->linesize[plane]) {
+            for (int x = 0; x < cw; ++x) ++hist[p[x]];
+        }
+    }
+    return 0;
+}
+
+// Introspection for tests/diagnostics: how many frames took the proven
+// gray-content LUT path (skipping swscale), and the proof status
+// (0 unknown, 1 proven, -1 refuted) for the last-seen geometry.
+long avdec_gray_fast_frames(void) {
+    return g_gray_fast_frames.load(std::memory_order_relaxed);
+}
+
+int avdec_gray_fast_status(void) {
+    const ProvenGray* pg = g_proven.load(std::memory_order_acquire);
+    return pg == nullptr ? 0 : (pg->ok ? 1 : -1);
 }
 
 // Full-BGR variant for the first-frame parity self-check and the non-gray

@@ -107,6 +107,59 @@ def test_exact_fused_mean_mode_matches_cv2_path(tmp_path):
             assert np.array_equal(a['frames'][key], b['frames'][key]), key
 
 
+def make_color_video(path, n_frames=12, w=384, h=288):
+    """Clip with real color content (chroma takes many values), forcing the
+    gray-content LUT fast path to decline every frame."""
+    import cv2
+    rng = np.random.default_rng(3)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), 30,
+                             (w, h))
+    assert writer.isOpened()
+    for t in range(n_frames):
+        frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.circle(frame, (w // 2 + t, h // 2), 40, (255, 64, 0), -1)
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+def test_gray_content_lut_fast_path_engages(tmp_path):
+    # gray MJPG content decodes to <=2-valued chroma planes; after the
+    # runtime proof (native/avdec.cpp prove_gray_identity) frames must skip
+    # swscale via the LUT path and still be byte-exact (the byte-identity
+    # tests above run the same reader, so exactness is already covered —
+    # this asserts the fast path actually engaged)
+    native = _avdec_or_skip()
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=16)
+    settings = _settings(tmp_path)
+    before, _ = native.avdec_gray_fast_stats()
+    reader = _reader(video, settings)
+    if not reader._exact_fused:
+        pytest.skip('fused path inactive on this system')
+    total = sum(batch['count'] for batch in reader)
+    after, status = native.avdec_gray_fast_stats()
+    assert total == 16
+    assert status == 1, 'LUT identity should be provable on this system'
+    # the self-check frame plus every fused frame goes through the LUT
+    assert after - before >= 16
+
+
+def test_color_content_declines_lut_and_stays_exact(tmp_path):
+    native = _avdec_or_skip()
+    video = make_color_video(str(tmp_path / 'color.avi'))
+    settings = _settings(tmp_path)
+    before, _ = native.avdec_gray_fast_stats()
+    fused = _reader(video, settings)
+    plain = _reader(video, settings, force_cv2=True)
+    if not fused._exact_fused:
+        pytest.skip('fused path inactive on this system')
+    for a, b in zip(fused, plain):
+        for key in a['frames']:
+            assert np.array_equal(a['frames'][key], b['frames'][key]), key
+    after, _ = native.avdec_gray_fast_stats()
+    assert after == before, 'color frames must take the full swscale path'
+
+
 def test_self_check_failure_falls_back_to_cv2(tmp_path, monkeypatch):
     native = _avdec_or_skip()
     video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=12)

@@ -152,7 +152,19 @@ class BatchedVideoReader:
             ok, first = cap.read()
             bgr = _native.avdec_decode_bgr(self._demux.chunk(0)) \
                 if ok and len(self._demux) else None
-            if bgr is not None and bgr.shape == first.shape and \
+            # the gray check runs the actual per-frame conversion, which
+            # includes the proven gray-content LUT fast path when it arms
+            # (native/avdec.cpp); its reference is the exact cv2 recipe on
+            # the cap.read() frame
+            gray = _native.avdec_decode_gray(self._demux.chunk(0)) \
+                if bgr is not None else None
+            gray_ok = gray is not None and bool(np.array_equal(
+                gray,
+                ((first[:, :, 0].astype(np.int32) * 3735 +
+                  first[:, :, 1].astype(np.int32) * 19235 +
+                  first[:, :, 2].astype(np.int32) * 9798 +
+                  (1 << 14)) >> 15).astype(np.uint8)))
+            if bgr is not None and gray_ok and bgr.shape == first.shape and \
                     np.array_equal(bgr, first):
                 self._exact_fused = True
                 self.logger.debug('Exact libav fused decode active for %s',

@@ -163,6 +163,10 @@ def _load_avdec():
         lib.avdec_frame_to_bgr.restype = ctypes.c_int
         lib.avdec_frame_to_bgr.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.avdec_gray_fast_frames.restype = ctypes.c_long
+        lib.avdec_gray_fast_frames.argtypes = []
+        lib.avdec_gray_fast_status.restype = ctypes.c_int
+        lib.avdec_gray_fast_status.argtypes = []
         av_path, sws_path = _cv2_bundled_ffmpeg()
         if not lib.avdec_init(av_path, sws_path):
             return None
@@ -201,6 +205,19 @@ def avdec_available():
     return _load_avdec() is not None
 
 
+def avdec_gray_fast_stats():
+    """(frames_via_lut, proof_status) of avdec's gray-content fast path.
+
+    Status: 0 = not yet evaluated, 1 = LUT identity proven for the current
+    geometry (uniform-128-chroma frames skip swscale), -1 = refuted (every
+    frame takes the full converter). Diagnostics/tests only.
+    """
+    av = _load_avdec()
+    if av is None:
+        return 0, 0
+    return int(av.avdec_gray_fast_frames()), int(av.avdec_gray_fast_status())
+
+
 def _as_u8_buf(jpg):
     buf = np.frombuffer(jpg, np.uint8) if not isinstance(jpg, np.ndarray) \
         else jpg
@@ -237,6 +254,29 @@ def avdec_gray_stage1(jpg, need_mean, want_stats=False):
         h, w, 1 if need_mean else 0,
         stats.ctypes.data_as(ctypes.c_void_p) if want_stats else None)
     return ((h, w), stats) if want_stats else (h, w)
+
+
+def avdec_decode_gray(jpg):
+    """Decode one JPEG chunk to a (h, w) exact-gray frame via the avdec
+    module — the same conversion the fused pipeline runs per frame,
+    INCLUDING the gray-content LUT fast path when it is armed. Used by the
+    first-frame self-check so the per-file guard exercises the actual
+    production path. None on failure."""
+    av = _load_avdec()
+    if av is None:
+        return None
+    buf = _as_u8_buf(jpg)
+    dims = np.zeros(2, np.int64)
+    if av.avdec_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       len(buf),
+                       dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+        return None
+    h, w = int(dims[0]), int(dims[1])
+    out = np.empty((h, w), np.uint8)
+    if av.avdec_frame_to_gray(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size):
+        return None
+    return out
 
 
 def avdec_decode_bgr(jpg):
