@@ -223,7 +223,7 @@ def test_encoder_row_bounded_runs():
         lin = (yy * w + xx).astype(np.uint32)
         buf = lin[None, :].copy()
         counts = np.array([len(lin)], np.int32)
-        runs_n = np.zeros((1, 256), np.uint32)
+        runs_n = np.zeros_like(runs)
         rcnt_n = np.zeros(1, np.int32)
         ret = native.encode_runs_batch(buf, counts, runs_n, rcnt_n, w=w)
         assert ret is not None and ret > 0
