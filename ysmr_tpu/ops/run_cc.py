@@ -12,9 +12,9 @@ maximal runs at marker changes, at 31 pixels, and at row ends). Min-label
 propagation over the (T, R) run tables replaces whole-frame stencil
 labeling over (T, H*W) pixel planes — at the reference geometry runs are
 ~60x fewer elements than pixels, and every op here is a table sort, a
-segmented scan, or a compact-table gather (the only irregular ops that are
-cheap on TPU; reference hot loop: /root/reference/ysmr/track_eval.py:273-283
-via cv2.findContours).
+shifted elementwise min, or a compact-table gather (the only irregular ops
+that are cheap on TPU; reference hot loop:
+/root/reference/ysmr/track_eval.py:273-283 via cv2.findContours).
 
 Edge set and exactness
 ----------------------
@@ -105,13 +105,18 @@ def _searchsorted_batch(data_key, query_key, *, right):
     return back[:, r:]
 
 
-def run_windows(geo, *, dilate):
+def run_windows_multi(geo, *, dilates):
     """Overlap-window endpoints into the adjacent rows, per run.
 
+    All requested dilations share one sort-merge pair (the searchsorted
+    sorts are the windows' whole cost, so batching the 4-conn and 8-conn
+    queries halves it).
+
     :param geo: decode_runs output
-    :param dilate: 1 for 8-connectivity, 0 for 4-connectivity
-    :return: dict lo_up, hi_up, ok_up, lo_dn, hi_dn, ok_dn — (T, R) int32 /
-        bool; indices point into the same (raster-ordered) run table
+    :param dilates: tuple of dilations (1 for 8-connectivity, 0 for 4)
+    :return: one dict per dilation with lo_up, hi_up, ok_up, lo_dn, hi_dn,
+        ok_dn — (T, R) int32 / bool; indices point into the same
+        (raster-ordered) run table
     """
     rows, xs, xe, valid = geo['rows'], geo['xs'], geo['xe'], geo['valid']
     # pack (row, x) into one monotone key; +2 margin covers xs-1 / xe+1
@@ -119,19 +124,31 @@ def run_windows(geo, *, dilate):
     base = rows * m
     key_e = jnp.where(valid, base + xe, _BIG)
     key_s = jnp.where(valid, base + xs, _BIG)
-    q_lo = jnp.concatenate([(base - m) + (xs - dilate),
-                            (base + m) + (xs - dilate)], axis=1)
-    q_hi = jnp.concatenate([(base - m) + (xe + dilate),
-                            (base + m) + (xe + dilate)], axis=1)
+    q_lo = jnp.concatenate(
+        [q for d in dilates
+         for q in ((base - m) + (xs - d), (base + m) + (xs - d))], axis=1)
+    q_hi = jnp.concatenate(
+        [q for d in dilates
+         for q in ((base - m) + (xe + d), (base + m) + (xe + d))], axis=1)
     r = rows.shape[1]
-    lo2 = _searchsorted_batch(key_e, q_lo, right=False)
-    hi2 = _searchsorted_batch(key_s, q_hi, right=True) - 1
-    lo_up, lo_dn = lo2[:, :r], lo2[:, r:]
-    hi_up, hi_dn = hi2[:, :r], hi2[:, r:]
-    ok_up = valid & (lo_up <= hi_up)
-    ok_dn = valid & (lo_dn <= hi_dn)
-    return {'lo_up': lo_up, 'hi_up': hi_up, 'ok_up': ok_up,
-            'lo_dn': lo_dn, 'hi_dn': hi_dn, 'ok_dn': ok_dn}
+    lo_all = _searchsorted_batch(key_e, q_lo, right=False)
+    hi_all = _searchsorted_batch(key_s, q_hi, right=True) - 1
+    outs = []
+    for k, _ in enumerate(dilates):
+        lo_up, lo_dn = lo_all[:, 2 * k * r:(2 * k + 1) * r], \
+            lo_all[:, (2 * k + 1) * r:(2 * k + 2) * r]
+        hi_up, hi_dn = hi_all[:, 2 * k * r:(2 * k + 1) * r], \
+            hi_all[:, (2 * k + 1) * r:(2 * k + 2) * r]
+        ok_up = valid & (lo_up <= hi_up)
+        ok_dn = valid & (lo_dn <= hi_dn)
+        outs.append({'lo_up': lo_up, 'hi_up': hi_up, 'ok_up': ok_up,
+                     'lo_dn': lo_dn, 'hi_dn': hi_dn, 'ok_dn': ok_dn})
+    return outs
+
+
+def run_windows(geo, *, dilate):
+    """Single-dilation convenience wrapper over run_windows_multi."""
+    return run_windows_multi(geo, dilates=(dilate,))[0]
 
 
 def chain_mask(geo, win):
@@ -158,28 +175,6 @@ def chain_mask(geo, win):
     return consec | cut_up | cut_dn
 
 
-def _seg_cummin(vals, link, *, reverse):
-    """Segmented cummin along run chains (associative scan, no gathers).
-
-    ``link[i]`` joins i and i+1; segment boundaries are the complement.
-    """
-    if not reverse:
-        starts = jnp.concatenate(
-            [jnp.ones_like(link[:, :1]), ~link[:, :-1]], axis=1)
-    else:
-        starts = jnp.concatenate(
-            [~link[:, :-1], jnp.ones_like(link[:, :1])], axis=1)
-
-    def combine(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
-
-    out, _ = jax.lax.associative_scan(combine, (vals, starts), axis=1,
-                                      reverse=reverse)
-    return out
-
-
 @partial(jax.jit, static_argnames=('max_iters', 'check_every'))
 def propagate_min(init, win, link, *, max_iters=64, check_every=4):
     """Min-label fixpoint over the run graph.
@@ -187,6 +182,15 @@ def propagate_min(init, win, link, *, max_iters=64, check_every=4):
     Labels are per-frame run indices, possibly offset by +R to encode a
     'weak' class (marker reconstruction); the pointer jump reads through
     ``label mod R``, which is always a run index inside the same component.
+
+    Each step relaxes one hop along the same-row chain edges (two shifted
+    mins), takes the four adjacent-row window endpoints (one flat gather),
+    and path-halves (one flat gather). At (T, R) table sizes every XLA op
+    is launch-overhead-bound on the TPU, so the cheap constant-op step
+    beats per-step segmented chain scans (log-width associative scans were
+    ~5x the per-step cost) even though one-hop relaxation needs a few more
+    steps; path halving keeps the total logarithmic in the component's
+    run-graph diameter.
 
     :param init: (T, R) int32 initial labels
     :param win: run_windows output
@@ -201,17 +205,24 @@ def propagate_min(init, win, link, *, max_iters=64, check_every=4):
     ok4 = jnp.concatenate([win['ok_up'], win['ok_up'],
                            win['ok_dn'], win['ok_dn']], axis=1)
     big = jnp.int32(2 ** 30)
+    # link[i] joins i and i+1 (last column False by construction)
+    link_l = jnp.concatenate([jnp.zeros_like(link[:, :1]), link[:, :-1]],
+                             axis=1)
 
     def step(lab):
-        lab = _seg_cummin(lab, link, reverse=False)
-        lab = _seg_cummin(lab, link, reverse=True)
+        nxt = jnp.concatenate([lab[:, 1:], jnp.full_like(lab[:, :1], big)],
+                              axis=1)
+        prv = jnp.concatenate([jnp.full_like(lab[:, :1], big), lab[:, :-1]],
+                              axis=1)
+        lab = jnp.minimum(lab, jnp.minimum(jnp.where(link, nxt, big),
+                                           jnp.where(link_l, prv, big)))
         flat = lab.reshape(-1)
         v4 = jnp.where(ok4, flat[idx4.reshape(-1)].reshape(t, 4 * r), big)
         lab = jnp.minimum(lab, v4.reshape(t, 4, r).min(axis=1))
-        # pointer jump: label mod R names a run inside my own component;
-        # adopting that run's current label is monotone and in-component
-        # (for the +R weak encoding the target's label already carries the
-        # right strong/weak class, so no offset is re-applied)
+        # pointer jump (path halving): label mod R names a run inside my
+        # own component; adopting that run's current label is monotone and
+        # in-component (for the +R weak encoding the target's label already
+        # carries the right strong/weak class, so no offset is re-applied)
         flat2 = lab.reshape(-1)
         tgt = jnp.where(lab >= r, lab - r, lab)
         jmp = flat2[(jnp.clip(tgt, 0, r - 1) + t_off).reshape(-1)]
@@ -281,25 +292,61 @@ def run_cc_components(px_runs, run_counts, *, w, double_threshold,
     iota = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], (t, r))
     t_off = jnp.arange(t, dtype=jnp.int32)[:, None] * r
     if double_threshold:
-        win4 = run_windows(geo, dilate=0)
+        # both connectivities' windows in ONE sort-merge pair; the 8-conn
+        # windows are remapped onto the compacted table below instead of
+        # being rebuilt with another four sorts
+        win4, win8o = run_windows_multi(geo, dilates=(0, 1))
         link4 = chain_mask(geo, win4)
         init = jnp.where(geo['rmark'], iota, iota + r)
         lab4 = propagate_min(init, win4, link4, max_iters=max_iters,
                              check_every=check_every)
         keep = geo['valid'] & (lab4 < r)
-    else:
-        keep = geo['valid']
 
-    # stable compaction: surviving runs first, raster order preserved
-    ckey = jnp.where(keep, iota, iota + r)
-    _, c_rows, c_xs, c_xe, c_len, c_orig = jax.lax.sort(
-        (ckey, geo['rows'], geo['xs'], geo['xe'], geo['lens'], iota),
-        dimension=1, num_keys=1)
-    n_kept = jnp.sum(keep.astype(jnp.int32), axis=1)
-    c_valid = iota < n_kept[:, None]
-    geo8 = {'rows': c_rows, 'xs': c_xs, 'xe': c_xe, 'valid': c_valid,
-            'key_m': geo['key_m']}
-    win8 = run_windows(geo8, dilate=1)
+        # stable compaction: surviving runs first, raster order preserved
+        ckey = jnp.where(keep, iota, iota + r)
+        _, c_rows, c_xs, c_xe, c_len, c_orig = jax.lax.sort(
+            (ckey, geo['rows'], geo['xs'], geo['xe'], geo['lens'], iota),
+            dimension=1, num_keys=1)
+        n_kept = jnp.sum(keep.astype(jnp.int32), axis=1)
+        c_valid = iota < n_kept[:, None]
+
+        # window remap: compaction is a stable subset, so kept runs with
+        # original index in [lo, hi] occupy the contiguous compacted range
+        # [#kept strictly before lo, #kept through hi - 1] — two prefix-sum
+        # lookups replace the four searchsorted sorts of a rebuild. All
+        # lookups batch into two flat gathers (window fields at c_orig,
+        # then prefix sums at the window endpoints).
+        kc = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+        before = (kc - keep.astype(jnp.int32)).reshape(-1)  # kept before i
+        through = kc.reshape(-1)                            # kept through i
+        fields = jnp.stack(
+            [win8o['lo_up'], win8o['hi_up'], win8o['lo_dn'], win8o['hi_dn'],
+             win8o['ok_up'].astype(jnp.int32),
+             win8o['ok_dn'].astype(jnp.int32)]).reshape(6, -1)
+        j = (c_orig + t_off).reshape(-1)
+        g = fields[:, j].reshape(6, t, r)
+        lo_up_o, hi_up_o, lo_dn_o, hi_dn_o = g[0], g[1], g[2], g[3]
+        ok_up_o, ok_dn_o = g[4] > 0, g[5] > 0
+        lo_idx = (jnp.clip(jnp.stack([lo_up_o, lo_dn_o]), 0, r - 1) +
+                  t_off[None]).reshape(2, -1)
+        hi_idx = (jnp.clip(jnp.stack([hi_up_o, hi_dn_o]), 0, r - 1) +
+                  t_off[None]).reshape(2, -1)
+        lo2 = before[lo_idx.reshape(-1)].reshape(2, t, r)
+        hi2 = (through[hi_idx.reshape(-1)] - 1).reshape(2, t, r)
+        win8 = {'lo_up': lo2[0], 'hi_up': hi2[0],
+                'ok_up': c_valid & ok_up_o & (lo2[0] <= hi2[0]),
+                'lo_dn': lo2[1], 'hi_dn': hi2[1],
+                'ok_dn': c_valid & ok_dn_o & (lo2[1] <= hi2[1])}
+        geo8 = {'rows': c_rows, 'xs': c_xs, 'xe': c_xe, 'valid': c_valid,
+                'key_m': geo['key_m']}
+    else:
+        # valid runs are a prefix, so the compaction is the identity
+        keep = geo['valid']
+        c_rows, c_xs, c_xe, c_len, c_orig = (
+            geo['rows'], geo['xs'], geo['xe'], geo['lens'], iota)
+        c_valid = keep
+        geo8 = dict(geo)
+        win8 = run_windows(geo8, dilate=1)
     link8 = chain_mask(geo8, win8)
     lab8 = propagate_min(iota, win8, link8, max_iters=max_iters,
                          check_every=check_every)
