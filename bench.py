@@ -574,6 +574,9 @@ def measure_dense_host_stages(n_obj, n_frames=630):
 
 
 def _isolated_call(fn_name, args):
+    # the child inherits bench's stdout, which must stay a single JSON line
+    # for the driver — route the pipeline's logging/prints to stderr
+    sys.stdout = sys.stderr
     return globals()[fn_name](*args)
 
 
@@ -596,6 +599,16 @@ def _retry_isolated(fn_name, *args):
 
 
 def main():
+    # stdout is the driver's interface: exactly one JSON line. The pipeline's
+    # logging (and anything third-party) is pushed to stderr; only the final
+    # result print uses the real stdout.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
+    def emit(obj):
+        print(json.dumps(obj), file=real_stdout)
+        real_stdout.flush()
+
     if '--dense' in sys.argv:
         i = sys.argv.index('--dense')
         n_obj = 16000
@@ -616,13 +629,13 @@ def main():
             print('dense host-stage measurement failed: {}'.format(exc),
                   file=sys.stderr)
             host_stages = None
-        print(json.dumps({
+        emit({
             'metric': 'dense_scene_fps_1228x922_{}obj_16k_slots'.format(n_comp),
             'value': fps,
             'unit': 'frames/s',
             'vs_baseline': None,
             'host_stage_split': host_stages,
-        }))
+        })
         return
     os.makedirs(CACHE_DIR, exist_ok=True)
     clip = os.path.join(CACHE_DIR, 'bench_clip.avi')
@@ -662,7 +675,16 @@ def main():
     os.makedirs(result_folder, exist_ok=True)
     # headline: exact decode mode — pixel-identical input to the reference,
     # hence identical track counts/statistics (the parity requirement)
-    ours, ours_tracks, our_df = measure_ours(clip, warmup_clip, result_folder)
+    try:
+        ours, ours_tracks, our_df = measure_ours(clip, warmup_clip,
+                                                 result_folder)
+    except Exception as exc:
+        print('headline measurement failed: {}'.format(exc), file=sys.stderr)
+        retried = _retry_isolated('measure_ours', clip, warmup_clip,
+                                  result_folder)
+        if retried is None:
+            raise
+        ours, ours_tracks, our_df = retried
     # row-level parity guard on the full 630-frame clip, not just counts
     try:
         rows_identical, parity_detail = check_row_parity(our_df, ref_list_csv)
@@ -717,7 +739,7 @@ def main():
 
     value = ours['median']
     vs_baseline = (value / ref_fps) if ref_fps else None
-    print(json.dumps({
+    emit({
         'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
         'value': value,
         'unit': 'frames/s',
@@ -741,7 +763,7 @@ def main():
             (ours_tracks == ref_tracks) if ref_tracks else None,
         'identical_rows_vs_reference': rows_identical,
         'row_parity_detail': parity_detail,
-    }))
+    })
 
 
 if __name__ == '__main__':
