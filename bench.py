@@ -580,22 +580,39 @@ def _isolated_call(fn_name, args):
     return globals()[fn_name](*args)
 
 
-def _retry_isolated(fn_name, *args):
-    """Re-run a failed measurement in a fresh spawn process.
+def _run_isolated(fn_name, *args, timeout=900, attempts=2, retry_delay=75):
+    """Run a measurement in its own fresh spawn process, with a hang timeout
+    and a delayed retry.
 
-    The axon TPU worker occasionally crashes on a kernel fault; the parent's
-    jax client is then poisoned and every subsequent device op fails, while
-    a FRESH client connects fine (measured). So retries must not share the
-    parent's backend. Returns the measurement value or None."""
+    The axon TPU worker occasionally crashes on a kernel fault; a process
+    whose jax client saw the crash is poisoned (every subsequent device op
+    fails or BLOCKS FOREVER), while a fresh client connects fine once the
+    worker recovers (~2 min, measured). Isolating every device-touching
+    measurement means one crash cannot poison the rest of the bench, the
+    timeout converts a blocked client into a retry, and the retry delay
+    rides out the worker's recovery window. Returns the measurement value
+    or None."""
     import multiprocessing as mp
-    try:
-        ctx = mp.get_context('spawn')
-        with ctx.Pool(1, maxtasksperchild=1) as pool:
-            return pool.apply(_isolated_call, (fn_name, args))
-    except Exception as exc:
-        print('isolated retry of {} failed: {}'.format(fn_name, exc),
-              file=sys.stderr)
-        return None
+    import time as _time
+    ctx = mp.get_context('spawn')
+    for attempt in range(attempts):
+        pool = ctx.Pool(1, maxtasksperchild=1)
+        try:
+            return pool.apply_async(
+                _isolated_call, (fn_name, args)).get(timeout=timeout)
+        except mp.TimeoutError:
+            print('{} timed out after {}s (attempt {}/{})'.format(
+                fn_name, timeout, attempt + 1, attempts), file=sys.stderr)
+            pool.terminate()
+        except Exception as exc:
+            print('isolated {} failed: {} (attempt {}/{})'.format(
+                fn_name, exc, attempt + 1, attempts), file=sys.stderr)
+        finally:
+            pool.close()
+            pool.join()
+        if attempt + 1 < attempts:
+            _time.sleep(retry_delay)
+    return None
 
 
 def main():
@@ -673,18 +690,15 @@ def main():
 
     result_folder = os.path.join(CACHE_DIR, 'our_results')
     os.makedirs(result_folder, exist_ok=True)
+    # Every device-touching measurement runs in its own spawn process: the
+    # parent never initializes the TPU client, so one axon worker crash can
+    # only cost (and retry) the one measurement it hit (see _run_isolated).
     # headline: exact decode mode — pixel-identical input to the reference,
     # hence identical track counts/statistics (the parity requirement)
-    try:
-        ours, ours_tracks, our_df = measure_ours(clip, warmup_clip,
-                                                 result_folder)
-    except Exception as exc:
-        print('headline measurement failed: {}'.format(exc), file=sys.stderr)
-        retried = _retry_isolated('measure_ours', clip, warmup_clip,
-                                  result_folder)
-        if retried is None:
-            raise
-        ours, ours_tracks, our_df = retried
+    headline = _run_isolated('measure_ours', clip, warmup_clip, result_folder)
+    if headline is None:
+        raise RuntimeError('headline measurement failed in both attempts')
+    ours, ours_tracks, our_df = headline
     # row-level parity guard on the full 630-frame clip, not just counts
     try:
         rows_identical, parity_detail = check_row_parity(our_df, ref_list_csv)
@@ -693,49 +707,28 @@ def main():
         rows_identical = parity_detail = None
     # chip-only throughput: what the device does when the host never
     # starves it (pre-staged batches, scalar-fetch timing)
-    try:
-        device_fps = measure_device_only(clip)
-    except Exception as exc:
-        print('device-only measurement failed: {}'.format(exc),
-              file=sys.stderr)
-        device_fps = _retry_isolated('measure_device_only', clip)
+    device_fps = _run_isolated('measure_device_only', clip)
     # secondary: fast MJPG grayscale decode (gray within +-2 of exact; on
     # this clip 329 tracks vs the reference's 328 — see io/video.py)
     fast_folder = os.path.join(CACHE_DIR, 'our_results_fast')
     os.makedirs(fast_folder, exist_ok=True)
-    try:
-        fast, _, _ = measure_ours(clip, warmup_clip, fast_folder,
-                                  extra={'decode mode': 'fast'})
-    except Exception as exc:
-        print('fast-decode measurement failed: {}'.format(exc), file=sys.stderr)
-        fast = _retry_isolated('measure_ours', clip, warmup_clip, fast_folder,
-                               {'decode mode': 'fast'})
-        fast = fast[0] if fast else None
+    fast = _run_isolated('measure_ours', clip, warmup_clip, fast_folder,
+                         {'decode mode': 'fast'})
+    fast = fast[0] if fast else None
 
     # host floor: measured proof that the remaining e2e gap is the host's
-    # serial decode+preproc on ONE core, not the chip (device_only_fps)
-    try:
-        host_floor = measure_host_floor(clip)
-    except Exception as exc:
-        print('host-floor measurement failed: {}'.format(exc),
-              file=sys.stderr)
-        host_floor = None
+    # serial decode+preproc on ONE core, not the chip (device_only_fps).
+    # Host-only (no jax), but isolated too so its native thread-local
+    # buffers can't interact with the parent.
+    host_floor = _run_isolated('measure_host_floor', clip, timeout=300)
 
     # dense-scene stretch (BASELINE config 5) as secondary fields so the
     # recorded bench carries the scale story too
-    try:
-        dense_objects, dense_fps = measure_dense()
-    except Exception as exc:
-        print('dense measurement failed: {}'.format(exc), file=sys.stderr)
-        dense = _retry_isolated('measure_dense')
-        dense_objects, dense_fps = dense if dense else (None, None)
+    dense = _run_isolated('measure_dense')
+    dense_objects, dense_fps = dense if dense else (None, None)
 
     # dense e2e on a real clip, both sides (reference cached one-time)
-    try:
-        dense_e2e = measure_dense_e2e()
-    except Exception as exc:
-        print('dense e2e measurement failed: {}'.format(exc), file=sys.stderr)
-        dense_e2e = _retry_isolated('measure_dense_e2e')
+    dense_e2e = _run_isolated('measure_dense_e2e', timeout=1500)
 
     value = ours['median']
     vs_baseline = (value / ref_fps) if ref_fps else None
