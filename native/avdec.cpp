@@ -658,6 +658,33 @@ int avdec_chroma_histogram(int64_t* out) {
     return 0;
 }
 
+// Diagnostics: copy one raw plane (0 = Y, 1 = U, 2 = V) of the held frame
+// into out (row-packed, no stride padding). Returns the plane's width in
+// out_dims[0] and height in out_dims[1]; nonzero on error. Ground truth
+// for validating the first-party MJPEG decoder (native/jpegdec.cpp).
+int avdec_frame_plane(int plane, uint8_t* out, int64_t cap,
+                      int64_t* out_dims) {
+    AvState& av = tl_av;
+    if (av.frame == nullptr || av.frame->width <= 0) return 1;
+    if (plane < 0 || plane > 2) return 2;
+    int w = av.frame->width, h = av.frame->height;
+    if (plane > 0) {
+        int hsub = 0, vsub = 0;
+        if (!chroma_shifts(av.frame->format, &hsub, &vsub)) return 3;
+        chroma_plane_dims(av.frame->width, av.frame->height, hsub, vsub,
+                          &w, &h);
+    }
+    const uint8_t* p = av.frame->data[plane];
+    if (p == nullptr) return 4;
+    if (static_cast<int64_t>(w) * h > cap) return 5;
+    for (int y = 0; y < h; ++y, p += av.frame->linesize[plane]) {
+        std::memcpy(out + static_cast<int64_t>(y) * w, p, w);
+    }
+    out_dims[0] = w;
+    out_dims[1] = h;
+    return 0;
+}
+
 // Introspection for tests/diagnostics: how many frames took the proven
 // gray-content LUT path (skipping swscale), and the proof status
 // (0 unknown, 1 proven, -1 refuted) for the last-seen geometry.

@@ -167,6 +167,10 @@ def _load_avdec():
         lib.avdec_gray_fast_frames.argtypes = []
         lib.avdec_gray_fast_status.restype = ctypes.c_int
         lib.avdec_gray_fast_status.argtypes = []
+        lib.avdec_frame_plane.restype = ctypes.c_int
+        lib.avdec_frame_plane.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         av_path, sws_path = _cv2_bundled_ffmpeg()
         if not lib.avdec_init(av_path, sws_path):
             return None
@@ -216,6 +220,32 @@ def avdec_gray_fast_stats():
     if av is None:
         return 0, 0
     return int(av.avdec_gray_fast_frames()), int(av.avdec_gray_fast_status())
+
+
+def avdec_decode_planes(jpg):
+    """Decode one JPEG chunk and return its raw planes (Y, U, V) as numpy
+    arrays — ground truth for validating the first-party MJPEG decoder
+    (native/jpegdec.cpp) against libavcodec's exact output."""
+    av = _load_avdec()
+    if av is None:
+        return None
+    buf = _as_u8_buf(jpg)
+    dims = np.zeros(2, np.int64)
+    if av.avdec_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       len(buf),
+                       dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+        return None
+    planes = []
+    for p in range(3):
+        out = np.empty(int(dims[0]) * int(dims[1]), np.uint8)
+        pd = np.zeros(2, np.int64)
+        if av.avdec_frame_plane(
+                p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(out), pd.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+            return None
+        planes.append(out[:int(pd[0]) * int(pd[1])].reshape(
+            int(pd[1]), int(pd[0])).copy())
+    return planes
 
 
 def _as_u8_buf(jpg):
