@@ -46,12 +46,21 @@ _FORCE_PADDED_READBACK = False
 _SLICE_JITS = {}
 
 
-def _slice_cols(k):
-    """Jitted (T, F) -> (T, :k) column slice (cached per static k): shrinks
-    the det_px_idx readback to the batch's actual pixel-count bucket."""
+def _slice_cols_with_counts(k):
+    """Jitted (T, F), (T,) -> (T, k+1) int16: the det_px_idx readback sliced
+    to the batch's pixel-count bucket with n_components folded into a final
+    extra column — ONE device buffer, hence ONE d2h fetch per batch (each
+    fetch costs ~30 ms of tunnel latency regardless of size; CLAUDE.md
+    'fold values into one buffer')."""
     if k not in _SLICE_JITS:
         import jax
-        _SLICE_JITS[k] = jax.jit(lambda a: a[:, :k])
+        import jax.numpy as jnp
+
+        def f(a, n):
+            return jnp.concatenate(
+                [a[:, :k], n[:, None].astype(jnp.int16)], axis=1)
+
+        _SLICE_JITS[k] = jax.jit(f)
     return _SLICE_JITS[k]
 
 
@@ -458,17 +467,19 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         counts_np = np.asarray(data['count'])
         f_bucket = min(det_px_dev.shape[1],
                        max(256, _next_pow2(int(counts_np.max()) if count else 1)))
-        det_px_dev = _slice_cols(f_bucket)(det_px_dev)
+        # n_components rides the same buffer as an extra int16 column: the
+        # consume side then pays ONE tunnel fetch per batch instead of two
+        det_px_dev = _slice_cols_with_counts(f_bucket)(
+            det_px_dev, tables['n_components'])
         packed_np = data.get('px_packed')
         if packed_np is None:  # split-coordinate wire format (luminosity)
             packed_np = (data['px_y'].astype(np.uint32) *
                          np.uint32(frame_width) +
                          data['px_x'].astype(np.uint32))
-        for arr in (det_px_dev, tables['n_components']):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
+        try:
+            det_px_dev.copy_to_host_async()
+        except AttributeError:
+            pass
         gray_dev = None
         if config.include_luminosity:
             # stage the gray planes for the rect-luminosity pass that runs
@@ -476,7 +487,6 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             gray_dev = _jax.device_put(np.ascontiguousarray(data['gray']))
         return {'det_px': det_px_dev, 'packed': packed_np,
                 'counts': counts_np, 'start': start, 'frame_valid': fv,
-                'n_components': tables['n_components'],
                 'gray_dev': gray_dev}
 
     def run_host_rect_tracker(pending):
@@ -485,8 +495,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         for the delayed emissions readback."""
         nonlocal state, trk_d
         t_a = time.perf_counter()
-        det_px = np.asarray(pending['det_px'])
-        n_comp = np.asarray(pending['n_components'])
+        fused = np.asarray(pending['det_px'])
+        det_px = fused[:, :-1]
+        n_comp = fused[:, -1].astype(np.int32)
         fv = pending['frame_valid']
         max_n = int(n_comp[fv].max()) if fv.any() else 0
         if max_n > trk_d:
@@ -523,8 +534,10 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             state, det_xy,
             np.ascontiguousarray(rects[:, :, 2:5]), rvalid, **tracker_kwargs)
         state = new_state
+        # n_comp is already host-side (it rode the det_px buffer), so the
+        # flight's overflow check costs no extra fetch here either
         return emit_device_flight(emissions, pending['start'], fv,
-                                  pending['n_components'], None)
+                                  n_comp, None)
 
     def start_async_readback(emissions, n_components):
         for arr in (emissions['mask'], emissions['ids'], emissions['pos'],
