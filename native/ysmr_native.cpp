@@ -546,6 +546,147 @@ struct MeanRing {
     }
 };
 
+// Fused adaptive mean + threshold + extraction (threshold modes 0/1):
+// computes the 11-tap f32 vertical pass from the MeanRing and compares
+// src - mean against the C offsets while the mean is still in registers,
+// compress-storing the packed uint32 wire directly. Bit-identical to
+// stage1(need_mean=1) + preprocess_stage2_packed — same hpass/vpass
+// accumulation order, vcvtps2dq rounding, and integer compare rule — but
+// the tl_mean plane write (1.1 MB/frame) and stage 2's full-plane re-read
+// (2.3 MB/frame + a third per-pixel pass) disappear. Output stays in
+// raster order via tiny per-row staging buffers (foreground is sparse, so
+// the staging copy is count-proportional).
+int64_t fused_mean_threshold_packed(int64_t h, int64_t w, int mode, int white,
+                                    double c_mask, double c_marker,
+                                    uint32_t* out, int64_t max_out) {
+    static thread_local MeanRing ring;
+    ring.start(h, w);
+    const int32_t im = white ? -static_cast<int32_t>(std::ceil(c_mask))
+                             : -static_cast<int32_t>(std::floor(c_mask));
+    const int32_t ik = white ? -static_cast<int32_t>(std::ceil(c_marker))
+                             : -static_cast<int32_t>(std::floor(c_marker));
+    static thread_local std::vector<uint32_t> stage;
+    stage.resize(4 * w);
+    int64_t count = 0;
+    auto flush = [&](const uint32_t* src, int64_t n) {
+        if (count < max_out) {
+            const int64_t take = std::min(n, max_out - count);
+            std::memcpy(out + count, src,
+                        static_cast<size_t>(take) * sizeof(uint32_t));
+        }
+        count += n;
+    };
+    // scalar mean+threshold for vector tails / non-AVX builds; appends to a
+    // staging row so the in-row emission order stays x-ascending
+    auto scalar_px = [&](const float* const* rows, int64_t y, int64_t x,
+                         uint32_t* st, int64_t& n) {
+        float acc = 0.0f;
+        for (int k = 0; k < 11; ++k) acc += rows[k][x] * kGauss11[k];
+        const int32_t mean = static_cast<int32_t>(nearbyintf(acc));
+        const int32_t d = static_cast<int32_t>(tl_blur[y * w + x]) - mean;
+        const bool in_mask = white ? (d > im) : (d <= im);
+        if (!in_mask) return;
+        const bool mk = (mode == 1) && (white ? (d > ik) : (d <= ik));
+        st[n++] = static_cast<uint32_t>(y * w + x) | (mk ? 0x80000000u : 0u);
+    };
+#ifdef YSMR_AVX512
+    const __m512i vim = _mm512_set1_epi32(im);
+    const __m512i vik = _mm512_set1_epi32(ik);
+    const __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                           11, 12, 13, 14, 15);
+    const __m512i topbit = _mm512_set1_epi32(static_cast<int32_t>(0x80000000));
+    // threshold 16 mean values (i32, pre-u8-pack — identical integers) and
+    // compress-store the surviving packed entries into the staging row
+    auto emit16 = [&](__m512i mi, int64_t y, int64_t x, uint32_t* st,
+                      int64_t& n) {
+        const __m512i src = _mm512_cvtepu8_epi32(_mm_loadu_si128(
+            reinterpret_cast<const __m128i*>(tl_blur.data() + y * w + x)));
+        const __m512i d = _mm512_sub_epi32(src, mi);
+        const __mmask16 msk = white ? _mm512_cmpgt_epi32_mask(d, vim)
+                                    : _mm512_cmple_epi32_mask(d, vim);
+        if (!msk) return;
+        __mmask16 mk = 0;
+        if (mode == 1) {
+            mk = white ? _mm512_cmpgt_epi32_mask(d, vik)
+                       : _mm512_cmple_epi32_mask(d, vik);
+        }
+        __m512i val = _mm512_add_epi32(
+            _mm512_set1_epi32(static_cast<int32_t>(y * w + x)), iota);
+        val = _mm512_mask_or_epi32(val, mk, val, topbit);
+        _mm512_mask_compressstoreu_epi32(st + n, msk, val);
+        n += __builtin_popcount(static_cast<unsigned>(msk));
+    };
+#endif
+    // border rows (vertical clamp) one at a time, same row set as mean_row
+    auto fused_row = [&](int64_t y) {
+        ring.hpass_upto(y + 5);
+        const float* rows[11];
+        for (int k = 0; k < 11; ++k) {
+            int64_t yy = y + k - 5;
+            if (yy < 0) yy = 0;
+            if (yy >= h) yy = h - 1;
+            rows[k] = ring.slot(yy);
+        }
+        uint32_t* st = stage.data();
+        int64_t n = 0;
+        int64_t x = 0;
+#ifdef YSMR_AVX512
+        for (; x + 16 <= w; x += 16) {
+            __m512 acc = _mm512_mul_ps(_mm512_loadu_ps(rows[0] + x),
+                                       _mm512_set1_ps(kGauss11[0]));
+            for (int k = 1; k < 11; ++k) {
+                acc = _mm512_fmadd_ps(_mm512_loadu_ps(rows[k] + x),
+                                      _mm512_set1_ps(kGauss11[k]), acc);
+            }
+            emit16(_mm512_cvtps_epi32(acc), y, x, st, n);
+        }
+#endif
+        for (; x < w; ++x) scalar_px(rows, y, x, st, n);
+        flush(st, n);
+    };
+    int64_t y = 0;
+    for (; y < std::min<int64_t>(5, h); ++y) fused_row(y);
+    for (; y + 3 < h && y + 8 < h; y += 4) {
+        // interior 4-row block, same 14-row reuse as mean_rows4
+        ring.hpass_upto(y + 8);
+        const float* rows[14];
+        for (int k = 0; k < 14; ++k) rows[k] = ring.slot(y - 5 + k);
+        uint32_t* st[4];
+        int64_t n[4] = {0, 0, 0, 0};
+        for (int j = 0; j < 4; ++j) st[j] = stage.data() + j * w;
+        int64_t x = 0;
+#ifdef YSMR_AVX512
+        for (; x + 16 <= w; x += 16) {
+            __m512 r[14];
+            for (int k = 0; k < 14; ++k) r[k] = _mm512_loadu_ps(rows[k] + x);
+            __m512 a0 = _mm512_mul_ps(r[0], _mm512_set1_ps(kGauss11[0]));
+            __m512 a1 = _mm512_mul_ps(r[1], _mm512_set1_ps(kGauss11[0]));
+            __m512 a2 = _mm512_mul_ps(r[2], _mm512_set1_ps(kGauss11[0]));
+            __m512 a3 = _mm512_mul_ps(r[3], _mm512_set1_ps(kGauss11[0]));
+            for (int k = 1; k < 11; ++k) {
+                const __m512 wk = _mm512_set1_ps(kGauss11[k]);
+                a0 = _mm512_fmadd_ps(r[k], wk, a0);
+                a1 = _mm512_fmadd_ps(r[k + 1], wk, a1);
+                a2 = _mm512_fmadd_ps(r[k + 2], wk, a2);
+                a3 = _mm512_fmadd_ps(r[k + 3], wk, a3);
+            }
+            emit16(_mm512_cvtps_epi32(a0), y, x, st[0], n[0]);
+            emit16(_mm512_cvtps_epi32(a1), y + 1, x, st[1], n[1]);
+            emit16(_mm512_cvtps_epi32(a2), y + 2, x, st[2], n[2]);
+            emit16(_mm512_cvtps_epi32(a3), y + 3, x, st[3], n[3]);
+        }
+#endif
+        for (; x < w; ++x) {
+            for (int j = 0; j < 4; ++j) {
+                scalar_px(rows + j, y + j, x, st[j], n[j]);
+            }
+        }
+        for (int j = 0; j < 4; ++j) flush(st[j], n[j]);
+    }
+    for (; y < h; ++y) fused_row(y);
+    return count;
+}
+
 // blur3 (+ adaptive mean) from the already-filled tl_gray buffer.
 void stage1_from_gray(int64_t h, int64_t w, int need_adaptive_mean,
                       double* out_stats) {
@@ -881,6 +1022,20 @@ int64_t preprocess_stage2_packed(int mode, int white, double c_mask,
                  (fl_v[i] ? 0x80000000u : 0u);
     }
     return count;
+}
+
+// Fused stage 2 for the adaptive modes (0/1): adaptive mean + threshold +
+// extraction in one pass over tl_blur (stage 1 must have run with
+// need_adaptive_mean=0 — tl_mean is never materialized). Bit-identical
+// output to stage1(need_mean=1) + preprocess_stage2_packed; returns the
+// total foreground count (writes clamped to max_out), or -1 for an
+// unsupported mode.
+int64_t preprocess_stage2_fused(int mode, int white, double c_mask,
+                                double c_marker, uint32_t* out,
+                                int64_t max_out) {
+    if (mode != 0 && mode != 1) return -1;
+    return fused_mean_threshold_packed(tl_h, tl_w, mode, white, c_mask,
+                                       c_marker, out, max_out);
 }
 
 // Grayscale values at given pixels from the stage-1 gray buffer (luminosity).

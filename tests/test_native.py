@@ -63,3 +63,35 @@ def test_min_area_rect_batch_vs_cv2():
             assert out[i, 2] == pytest.approx(rw, abs=1e-3)
             assert out[i, 3] == pytest.approx(rh, abs=1e-3)
             assert out[i, 4] == pytest.approx(rang, abs=0.1)
+
+
+@pytest.mark.skipif(not native.has_fused_stage2(),
+                    reason='fused stage 2 not in this build')
+@pytest.mark.parametrize('mode_id', [0, 1])
+@pytest.mark.parametrize('white', [True, False])
+@pytest.mark.parametrize('c_mask,c_marker', [(-5.0, -10.0), (-1.5, -3.5),
+                                             (2.0, 4.0), (0.0, 0.0)])
+def test_fused_stage2_bit_equals_unfused(rng, mode_id, white, c_mask,
+                                         c_marker):
+    """The fused adaptive-mean stage 2 must reproduce the two-pass path
+    bit-for-bit: same count, same packed entries in the same (raster)
+    order — including the marker bit and the overflow count semantics."""
+    h, w = 97, 203  # odd sizes exercise the vector tails and border rows
+    for trial in range(4):
+        frame = rng.normal(90, 30, (h, w)).clip(0, 255).astype(np.uint8)
+        # a few bright blobs so both mask polarities produce foreground
+        for _ in range(12):
+            y0, x0 = int(rng.integers(0, h - 6)), int(rng.integers(0, w - 8))
+            frame[y0:y0 + 5, x0:x0 + 7] = int(rng.integers(170, 255))
+        cap = 4096 if trial < 3 else 32  # last trial forces overflow clamp
+        ref = np.zeros(cap, np.uint32)
+        native.preprocess_stage1_only(frame, need_mean=True)
+        ref_count = native.preprocess_stage2_packed(
+            mode_id, white, c_mask, c_marker, 0, ref)
+        got = np.zeros(cap, np.uint32)
+        native.preprocess_stage1_only(frame, need_mean=False)
+        got_count = native.preprocess_stage2_fused(
+            mode_id, white, c_mask, c_marker, got)
+        assert got_count == ref_count
+        n = min(ref_count, cap)
+        np.testing.assert_array_equal(got[:n], ref[:n])

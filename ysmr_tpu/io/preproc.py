@@ -38,6 +38,10 @@ class HostPreprocessor:
         self.threshold_state = MovingAverageThreshold(
             fps, self.offset, self.white_on_dark) if self.mode == 'mean' else None
         self.overflowed = 0
+        # fused stage 2 (adaptive modes): the native lib computes the
+        # adaptive mean and thresholds it in-register, so stage 1 skips the
+        # mean plane entirely (need_mean=False on every decode path below)
+        self._fused_s2 = self.mode != 'mean' and native.has_fused_stage2()
         # live display (track_bacteria) needs the decoded frames alongside
         # the pixel tables; set by the pipeline when 'display video analysis'
         # is on (forces the non-fused decode path so a frame object exists)
@@ -60,7 +64,8 @@ class HostPreprocessor:
                                                   want_stats=True)
             out = self._stage2_tables(h, w, mean_stats=stats)
         else:
-            native.preprocess_stage1_only(frame, need_mean=True)
+            native.preprocess_stage1_only(frame,
+                                          need_mean=not self._fused_s2)
             out = self._stage2_tables(h, w)
         if self.keep_frames:
             out['display_frames'] = frame
@@ -76,6 +81,22 @@ class HostPreprocessor:
             s2_args = (2, self.white_on_dark, 0.0, 0.0, thr)
         else:
             mode_id = 1 if self.mode == 'adaptive_double' else 0
+            if self._fused_s2:
+                packed = np.zeros(self.max_fg, np.uint32)
+                count = native.preprocess_stage2_fused(
+                    mode_id, self.white_on_dark, -float(self.offset),
+                    -float(self.offset + self.double_delta), packed)
+                if count is not None:
+                    if count > self.max_fg:
+                        with self._overflow_lock:
+                            self.overflowed += 1
+                        count = self.max_fg
+                    return {'px_packed': packed, 'count': count}
+                # defensive fallback (unreachable with the init-time
+                # capability check): refill the mean plane so the unfused
+                # path below stays correct
+                self._fused_s2 = False
+                native.stage1_rerun_from_gray(h, w, need_mean=True)
             s2_args = (mode_id, self.white_on_dark, -float(self.offset),
                        -float(self.offset + self.double_delta), 0)
         packed = np.zeros(self.max_fg, np.uint32)
@@ -105,7 +126,8 @@ class HostPreprocessor:
                 return None
             (h, w), stats = res
             return self._stage2_tables(h, w, mean_stats=stats)
-        res = native.decode_jpeg_gray_stage1(jpg_buf, need_mean=True)
+        res = native.decode_jpeg_gray_stage1(jpg_buf,
+                                             need_mean=not self._fused_s2)
         if res is None:
             return None
         h, w = res
@@ -137,7 +159,8 @@ class HostPreprocessor:
                 return None
             (h, w), stats = res
             return self._stage2_tables(h, w, mean_stats=stats)
-        res = native.avdec_gray_stage1(jpg_buf, need_mean=True)
+        res = native.avdec_gray_stage1(jpg_buf,
+                                       need_mean=not self._fused_s2)
         if res is None:
             return None
         h, w = res

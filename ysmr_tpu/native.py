@@ -68,6 +68,13 @@ def _load():
         lib.preprocess_stage2_packed.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+        try:
+            lib.preprocess_stage2_fused.restype = ctypes.c_int64
+            lib.preprocess_stage2_fused.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+        except AttributeError:  # stale .so predating the fused stage 2
+            pass
         lib.gray_at_pixels.restype = None
         lib.gray_at_pixels.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
@@ -503,6 +510,44 @@ def preprocess_stage2_packed(mode, white, c_mask, c_marker, global_thresh,
         int(mode), 1 if white else 0, float(c_mask), float(c_marker),
         int(global_thresh),
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(packed))
+
+
+def stage1_rerun_from_gray(h, w, need_mean, want_stats=False):
+    """Re-run blur3 (+ adaptive mean) from the thread's already-filled gray
+    buffer — the recovery path when a caller skipped the mean plane for the
+    fused stage 2 and then needs it after all."""
+    lib = _load()
+    if lib is None:
+        return None
+    stats = np.zeros(2, np.float64) if want_stats else None
+    lib.stage1_run_from_gray(
+        h, w, 1 if need_mean else 0,
+        stats.ctypes.data_as(ctypes.c_void_p) if want_stats else None)
+    return stats if want_stats else True
+
+
+def has_fused_stage2():
+    """True when the library exports the fused adaptive-mean stage 2."""
+    lib = _load()
+    return lib is not None and hasattr(lib, 'preprocess_stage2_fused')
+
+
+def preprocess_stage2_fused(mode, white, c_mask, c_marker, packed):
+    """Fused adaptive mean + threshold + extraction (modes 0/1 only).
+
+    Stage 1 must have run with ``need_mean=False``; the mean plane is never
+    materialized — the 11-tap vertical pass thresholds in-register and
+    emits the packed uint32 wire directly. Bit-identical to
+    ``preprocess_stage1_only(need_mean=True)`` + ``preprocess_stage2_packed``.
+    Returns the total foreground count, or None when unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, 'preprocess_stage2_fused'):
+        return None
+    rc = lib.preprocess_stage2_fused(
+        int(mode), 1 if white else 0, float(c_mask), float(c_marker),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(packed))
+    return None if rc < 0 else rc
 
 
 def gray_at_pixels(xs, ys, n, out):
