@@ -35,6 +35,7 @@
 #include <vector>
 
 #include <dlfcn.h>
+#include <malloc.h>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -519,6 +520,746 @@ const ProvenGray* gray_fast_eligible(AvState& av) {
     return pg->ok ? pg : nullptr;
 }
 
+// ---------------------------------------------------------------------------
+// First-party baseline MJPEG decoder ("jdec").
+//
+// Replaces the libavcodec decode call for the gray-content fast path while
+// staying byte-exact with it: the bitstream layer reproduces mjpegdec's
+// dequant semantics exactly (DC prediction in the dequantized domain with
+// initial bias 1024 and int16 clipping; AC level*quant stored with int16
+// wraparound; coefficients placed through the FF_IDCT_PERM_TRANSPOSE
+// scantable), and the final transform is THE DECODER'S OWN idct_put
+// routine, located at runtime inside the opened codec's IDCTDSPContext by
+// structural signature (six code pointers + a 64-byte permutation table —
+// see avdec_find_idct below). Exactness was validated plane-by-plane
+// against libavcodec on real clips (Y/U/V 100 %); the per-file first-frame
+// byte-compare in io/video.py remains the outer guard, and ANY feature
+// outside the cv2-MJPG-writer profile (non-baseline, restart intervals,
+// chroma AC energy, unproven gray LUT, ...) declines to the regular
+// libavcodec path. What it buys: no avcodec per-frame overhead, no chroma
+// IDCT/store for DC-only chroma (one flat value per block via a tiny LUT),
+// and luma IDCT output written once into a padded plane that feeds the
+// proven gray LUT directly.
+// ---------------------------------------------------------------------------
+
+// the decoder's own idct_put, discovered once per process
+struct IdctHook {
+    void (*idct_put)(uint8_t*, ptrdiff_t, int16_t*) = nullptr;
+    bool tried = false;
+};
+IdctHook g_idct;
+std::mutex g_idct_mu;
+std::atomic<long> g_jdec_frames{0};
+std::atomic<uint64_t> g_jdec_tsc_entropy{0};  // entropy+idct cycles
+std::atomic<uint64_t> g_jdec_tsc_lut{0};      // gray-LUT band cycles
+
+// transposed-natural position of each zigzag index (the layout the located
+// idct expects: FF_IDCT_PERM_TRANSPOSE applied to the natural scan)
+constexpr uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct TransposedZigzag {
+    uint8_t tz[64];
+    constexpr TransposedZigzag() : tz() {
+        for (int i = 0; i < 64; ++i) {
+            tz[i] = static_cast<uint8_t>((kZigzag[i] & 7) * 8 +
+                                         (kZigzag[i] >> 3));
+        }
+    }
+};
+constexpr TransposedZigzag kTz;
+
+// scan the opened decoder's private context for the IDCTDSPContext
+// signature; returns the number of matches and fills ptrs/perm/perm_type
+// for up to max_out of them
+int scan_idct_candidates(AvState& av, int max_out, int64_t ptrs[][6],
+                         uint8_t perm[][64], int32_t* perm_type,
+                         size_t* priv_off, uintptr_t* lib_base) {
+    Dl_info info;
+    if (dladdr(reinterpret_cast<void*>(g_api.avcodec_version), &info) == 0 ||
+        info.dli_fbase == nullptr) {
+        return -1;
+    }
+    const uintptr_t base = reinterpret_cast<uintptr_t>(info.dli_fbase);
+    const uintptr_t lib_hi = base + (uintptr_t(1) << 25);
+    if (lib_base != nullptr) *lib_base = base;
+    const uint8_t* priv = static_cast<const uint8_t*>(av.ctx->priv_data);
+    if (priv == nullptr) return -2;
+    const size_t usable = malloc_usable_size(
+        const_cast<void*>(static_cast<const void*>(priv)));
+    if (usable < 128 || usable > (size_t(1) << 24)) return -3;
+    int n = 0;
+    for (size_t o = 48; o + 68 <= usable && n < max_out; o += 8) {
+        const uint8_t* p = priv + o;
+        uint64_t seen_lo = 0, seen_hi = 0;
+        bool is_perm = true;
+        for (int i = 0; i < 64; ++i) {
+            const uint8_t v = p[i];
+            if (v >= 64) { is_perm = false; break; }
+            uint64_t& word = v < 32 ? seen_lo : seen_hi;
+            const uint64_t bit = uint64_t(1) << (v & 31);
+            if (word & bit) { is_perm = false; break; }
+            word |= bit;
+        }
+        if (!is_perm) continue;
+        const int64_t* words = reinterpret_cast<const int64_t*>(priv + o - 48);
+        int in_lib = 0, nulls = 0;
+        for (int i = 0; i < 6; ++i) {
+            const uint64_t v = static_cast<uint64_t>(words[i]);
+            if (v == 0) { ++nulls; continue; }
+            if (v >= base && v < lib_hi) ++in_lib;
+        }
+        if (in_lib < 4 || in_lib + nulls != 6) continue;
+        for (int i = 0; i < 6; ++i) ptrs[n][i] = words[i];
+        std::memcpy(perm[n], p, 64);
+        if (perm_type != nullptr) {
+            perm_type[n] = *reinterpret_cast<const int32_t*>(p + 64);
+        }
+        if (priv_off != nullptr) priv_off[n] = o;
+        ++n;
+    }
+    return n;
+}
+
+// locate + functionally sanity-check the decoder's idct_put once per
+// process; false when unavailable (jdec declines, avcodec path serves)
+bool idct_hook_ready(AvState& av) {
+    std::lock_guard<std::mutex> lock(g_idct_mu);
+    if (g_idct.tried) return g_idct.idct_put != nullptr;
+    g_idct.tried = true;
+    int64_t ptrs[2][6];
+    uint8_t perm[2][64];
+    int32_t ptype[2];
+    const int n = scan_idct_candidates(av, 2, ptrs, perm, ptype, nullptr,
+                                       nullptr);
+    if (n != 1) return false;  // ambiguous or missing: stay on avcodec
+    // the dequant layout above bakes in the transpose permutation — accept
+    // only that layout (perm[i] == transpose(i))
+    for (int i = 0; i < 64; ++i) {
+        if (perm[0][i] != (i & 7) * 8 + (i >> 3)) return false;
+    }
+    auto put = reinterpret_cast<void (*)(uint8_t*, ptrdiff_t, int16_t*)>(
+        ptrs[0][4]);
+    if (put == nullptr) return false;
+    // functional probes: a DC-only block must come out flat at round(dc/8)
+    // (the 1024 bias is mid-gray 128), clamped to u8 at the top. Probes
+    // stay within |dc<<3| < 2^15: ffmpeg's SIMD simple_idct wraps 16-bit
+    // beyond that (measured: dc=4096 -> 0), and since the hook IS the
+    // decoder's own routine that wraparound is exactness, not error.
+    alignas(64) int16_t blk[64];
+    alignas(64) uint8_t out[64];
+    const int dc_probe[4] = {0, 8, 1024, 2040};
+    const int expect[4] = {0, 1, 128, 255};
+    for (int t = 0; t < 4; ++t) {
+        std::memset(blk, 0, sizeof blk);
+        blk[0] = static_cast<int16_t>(dc_probe[t]);
+        put(out, 8, blk);
+        for (int i = 0; i < 64; ++i) {
+            if (out[i] != expect[t]) return false;
+        }
+    }
+    g_idct.idct_put = put;
+    return true;
+}
+
+// flat output byte of a DC-only block through the real idct (lazy map;
+// chroma blocks of gray content are DC-only so one transform per distinct
+// DC value ever runs)
+struct DcFlatLut {
+    std::vector<int16_t> map;  // -1 = unknown, else 0..255
+    DcFlatLut() : map(65536, -1) {}
+    // returns -1 when the real idct's output is not flat (cannot happen
+    // for a linear-in-DC transform, but verified rather than assumed)
+    int get(int16_t dc) {
+        int16_t& slot = map[static_cast<uint16_t>(dc)];
+        if (slot >= 0) return slot;
+        alignas(64) int16_t blk[64];
+        alignas(64) uint8_t out[64];
+        std::memset(blk, 0, sizeof blk);
+        blk[0] = dc;
+        g_idct.idct_put(out, 8, blk);
+        for (int i = 1; i < 64; ++i) {
+            if (out[i] != out[0]) return -1;
+        }
+        slot = out[0];
+        return slot;
+    }
+};
+thread_local DcFlatLut tl_dcflat;
+
+// MSB-first bit reader over the unstuffed entropy bytes; reads past the
+// end deliver zero bits and are counted (the caller declines the frame if
+// any were consumed mid-stream). Protocol: call refill32() once, then
+// consume at most 32 bits through huff()/bits() before the next refill —
+// one Huffman code (<=16) plus its value bits (<=15) fits in one window.
+struct BitReader {
+    uint64_t buf;       // next bits, left-aligned
+    int n;              // valid bits in buf
+    const uint8_t* p;
+    const uint8_t* end;
+    int64_t overrun = 0;
+
+    BitReader(const uint8_t* d, const uint8_t* e)
+        : buf(0), n(0), p(d), end(e) {}
+
+    __attribute__((always_inline)) inline void refill32() {
+        if (n >= 32) return;
+        if (__builtin_expect(p + 8 <= end, 1)) {
+            // branchless 8-byte refill (lookahead style): the OR also
+            // deposits <8 uncounted bits of the first unconsumed byte,
+            // but those are the correct next stream bits at the correct
+            // position, so the next refill's OR over them is idempotent.
+            uint64_t v;
+            std::memcpy(&v, p, 8);
+            buf |= __builtin_bswap64(v) >> n;
+            p += (63 - n) >> 3;
+            n |= 56;  // == n + 8 * ((63 - n) >> 3)
+            return;
+        }
+        while (n <= 56) {
+            if (p < end) {
+                buf |= static_cast<uint64_t>(*p++) << (56 - n);
+            } else {
+                ++overrun;
+            }
+            n += 8;
+        }
+    }
+    // k in [1, 32] and already refilled
+    __attribute__((always_inline)) inline int bits(int k) {
+        const int v = static_cast<int>(buf >> (64 - k));
+        buf <<= k;
+        n -= k;
+        return v;
+    }
+};
+
+// two-level Huffman table: 12-bit combined (code + run/size split) fast
+// lookup + mincode/maxcode fallback for longer codes
+struct HuffTab {
+    int16_t fast[1 << 10];  // (symbol << 5) | code_length, 0 = long code
+    // combined entry for codes of length <= 12:
+    // len | run << 5 | size << 9; -1 = long code (fallback). For DC
+    // tables the symbol s lands in the size nibble (run = 0), so the
+    // same one-step decode serves DC diffs and AC run/levels.
+    int16_t comb[1 << 12];
+    int32_t maxcode[17];    // per length, largest code (or -1)
+    int32_t valbase[17];    // vals index of first code of this length
+    int32_t mincode[17];
+    uint8_t vals[256];
+    bool ok = false;
+
+    bool build(const uint8_t* bits, const uint8_t* v, int nv) {
+        ok = false;
+        std::memset(fast, 0, sizeof fast);
+        std::memset(comb, 0xFF, sizeof comb);
+        std::memcpy(vals, v, nv);
+        int code = 0, k = 0;
+        for (int len = 1; len <= 16; ++len) {
+            mincode[len] = code;
+            valbase[len] = k;
+            for (int c = 0; c < bits[len - 1]; ++c, ++k, ++code) {
+                if (k >= nv || code >= (1 << len)) return false;
+                if (len <= 10) {
+                    const int shift = 10 - len;
+                    const int lo = code << shift;
+                    const int16_t e = static_cast<int16_t>((v[k] << 5) | len);
+                    for (int f = 0; f < (1 << shift); ++f) fast[lo + f] = e;
+                }
+                if (len <= 12) {
+                    const int shift = 12 - len;
+                    const int lo = code << shift;
+                    const int16_t e = static_cast<int16_t>(
+                        len | ((v[k] >> 4) << 5) | ((v[k] & 15) << 9));
+                    for (int f = 0; f < (1 << shift); ++f) comb[lo + f] = e;
+                }
+            }
+            maxcode[len] = code - 1;
+            if (bits[len - 1] == 0) maxcode[len] = -1;
+            code <<= 1;
+        }
+        ok = true;
+        return true;
+    }
+
+    // -1 on invalid code; caller must have refilled (>=16 bits buffered)
+    __attribute__((always_inline)) inline int decode(BitReader& br) {
+        const uint32_t look = static_cast<uint32_t>(br.buf >> 48);
+        const int16_t e = fast[look >> 6];
+        if (__builtin_expect(e != 0, 1)) {
+            const int len = e & 31;
+            br.buf <<= len;
+            br.n -= len;
+            return e >> 5;
+        }
+        // long code: walk lengths 11..16
+        int code = static_cast<int>(look >> 5);  // 11 bits
+        for (int len = 11; len <= 16; ++len) {
+            if (maxcode[len] >= 0 && code <= maxcode[len]) {
+                br.buf <<= len;
+                br.n -= len;
+                return vals[valbase[len] + (code - mincode[len])];
+            }
+            code = (code << 1) | static_cast<int>(
+                (look >> (16 - len - 1)) & 1);
+        }
+        return -1;
+    }
+};
+
+struct JdecHeader {
+    int w = 0, h = 0;
+    int ch = 0, cv = 0;          // luma sampling factors (chroma fixed 1x1)
+    int comp_q[3] = {0, 0, 0};   // quant table id per component
+    int comp_dc[3] = {0, 0, 0};  // huffman table ids per component
+    int comp_ac[3] = {0, 0, 0};
+    int64_t scan_start = 0;      // byte offset of entropy data
+};
+
+struct JDec {
+    uint64_t hdr_hash = 0;
+    bool tables_ok = false;
+    HuffTab hdc[4], hac[4];
+    uint16_t qtab[4][64];        // zigzag order, 8-bit precision
+    bool qvalid[4] = {false, false, false, false};
+    std::vector<uint8_t> scan;   // unstuffed entropy bytes
+    std::vector<uint8_t> yplane; // padded to whole blocks
+    std::vector<uint8_t> urow, vrow;  // synthesized chroma sample rows
+};
+thread_local JDec tl_jd;
+
+// parse every marker up to SOS; returns 0 ok, 1 decline (unsupported
+// profile), <0 malformed. Table segments are hashed so repeated identical
+// headers (the MJPG stream case) skip the Huffman table rebuild.
+int jdec_parse_header(const uint8_t* d, int64_t size, JdecHeader* hd,
+                      JDec& jd, bool* tables_changed) {
+    if (size < 4 || d[0] != 0xFF || d[1] != 0xD8) return -1;
+    int64_t i = 2;
+    uint64_t hash = 1469598103934665603ull;
+    const auto mix = [&hash](const uint8_t* p, int64_t n) {
+        for (int64_t k = 0; k < n; ++k) {
+            hash = (hash ^ p[k]) * 1099511628211ull;
+        }
+    };
+    struct Seg { int64_t off, len; uint8_t marker; };
+    std::vector<Seg> table_segs;
+    bool have_sof = false, have_sos = false;
+    while (i + 4 <= size) {
+        if (d[i] != 0xFF) return -2;
+        const uint8_t m = d[i + 1];
+        i += 2;
+        if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+        if (i + 2 > size) return -3;
+        const int64_t ln = (static_cast<int64_t>(d[i]) << 8) | d[i + 1];
+        if (ln < 2 || i + ln > size) return -4;
+        const uint8_t* seg = d + i + 2;
+        const int64_t segn = ln - 2;
+        switch (m) {
+            case 0xDB:
+            case 0xC4:
+                table_segs.push_back({i + 2, segn, m});
+                mix(&m, 1);
+                mix(seg, segn);
+                break;
+            case 0xC0: {  // baseline SOF
+                if (segn < 6 || seg[0] != 8) return 1;
+                hd->h = (seg[1] << 8) | seg[2];
+                hd->w = (seg[3] << 8) | seg[4];
+                if (seg[5] != 3 || segn < 6 + 9) return 1;
+                for (int c = 0; c < 3; ++c) {
+                    const int hv = seg[7 + 3 * c];
+                    const int sh = hv >> 4, sv = hv & 15;
+                    if (c == 0) {
+                        if (sh < 1 || sh > 2 || sv < 1 || sv > 2) return 1;
+                        hd->ch = sh;
+                        hd->cv = sv;
+                    } else if (sh != 1 || sv != 1) {
+                        return 1;
+                    }
+                    hd->comp_q[c] = seg[8 + 3 * c];
+                    if (hd->comp_q[c] > 3) return 1;
+                }
+                have_sof = true;
+                break;
+            }
+            case 0xC1: case 0xC2: case 0xC3: case 0xC5: case 0xC6:
+            case 0xC7: case 0xC9: case 0xCA: case 0xCB: case 0xCD:
+            case 0xCE: case 0xCF:
+                return 1;  // non-baseline frame types
+            case 0xDD: {  // DRI: only a zero restart interval is supported
+                if (segn < 2 || ((seg[0] << 8) | seg[1]) != 0) return 1;
+                break;
+            }
+            case 0xDA: {  // SOS
+                if (segn < 1 + 2 * 3 + 3 || seg[0] != 3) return 1;
+                for (int c = 0; c < 3; ++c) {
+                    const int t = seg[2 + 2 * c];
+                    hd->comp_dc[c] = t >> 4;
+                    hd->comp_ac[c] = t & 15;
+                    if (hd->comp_dc[c] > 3 || hd->comp_ac[c] > 3) return 1;
+                }
+                // spectral selection / successive approximation must be
+                // the baseline full-scan values
+                if (seg[7] != 0 || seg[8] != 63 || seg[9] != 0) return 1;
+                hd->scan_start = i + ln;
+                have_sos = true;
+                break;
+            }
+            default:
+                break;  // APPn / COM / others: ignored
+        }
+        if (have_sos) break;
+        i += ln;
+    }
+    if (!have_sof || !have_sos) return have_sof ? -5 : 1;
+    *tables_changed = hash != jd.hdr_hash || !jd.tables_ok;
+    if (*tables_changed) {
+        for (auto& q : jd.qvalid) q = false;
+        for (auto& t : jd.hdc) t.ok = false;
+        for (auto& t : jd.hac) t.ok = false;
+        for (const Seg& s : table_segs) {
+            const uint8_t* seg = d + s.off;
+            int64_t j = 0;
+            if (s.marker == 0xDB) {
+                while (j < s.len) {
+                    const int pq = seg[j] >> 4, tq = seg[j] & 15;
+                    if (pq != 0 || tq > 3 || j + 65 > s.len) return 1;
+                    for (int k = 0; k < 64; ++k) {
+                        jd.qtab[tq][k] = seg[j + 1 + k];
+                    }
+                    jd.qvalid[tq] = true;
+                    j += 65;
+                }
+            } else {  // DHT
+                while (j < s.len) {
+                    const int tc = seg[j] >> 4, th = seg[j] & 15;
+                    if (tc > 1 || th > 3 || j + 17 > s.len) return 1;
+                    int nv = 0;
+                    for (int k = 0; k < 16; ++k) nv += seg[j + 1 + k];
+                    if (nv > 256 || j + 17 + nv > s.len) return 1;
+                    HuffTab& t = tc == 0 ? jd.hdc[th] : jd.hac[th];
+                    if (!t.build(seg + j + 1, seg + j + 17, nv)) return 1;
+                    j += 17 + nv;
+                }
+            }
+        }
+        jd.hdr_hash = hash;
+        jd.tables_ok = true;
+    }
+    for (int c = 0; c < 3; ++c) {
+        if (!jd.qvalid[hd->comp_q[c]] || !jd.hdc[hd->comp_dc[c]].ok ||
+            !jd.hac[hd->comp_ac[c]].ok) {
+            return 1;
+        }
+    }
+    return 0;
+}
+
+// strip byte-stuffing (FF 00 -> FF) from the entropy segment into
+// jd.scan; stops at EOI. 1 = decline (restart marker or stray marker).
+int jdec_unstuff(const uint8_t* d, int64_t size, int64_t start, JDec& jd) {
+    jd.scan.clear();
+    jd.scan.reserve(static_cast<size_t>(size - start));
+    const uint8_t* p = d + start;
+    const uint8_t* end = d + size;
+    while (p < end) {
+        const uint8_t* ff = static_cast<const uint8_t*>(
+            std::memchr(p, 0xFF, static_cast<size_t>(end - p)));
+        if (ff == nullptr) {
+            jd.scan.insert(jd.scan.end(), p, end);
+            break;
+        }
+        jd.scan.insert(jd.scan.end(), p, ff);
+        if (ff + 1 >= end) break;
+        const uint8_t nxt = ff[1];
+        if (nxt == 0x00) {
+            jd.scan.push_back(0xFF);
+            p = ff + 2;
+        } else if (nxt == 0xD9) {
+            break;  // EOI
+        } else if (nxt == 0xFF) {
+            p = ff + 1;  // fill byte before a marker
+        } else {
+            return 1;  // restart or unexpected marker mid-scan
+        }
+    }
+    return 0;
+}
+
+inline int extend_sign(int v, int s) {
+    if (s == 0) return 0;
+    // branchless: the sign bit (bit s-1) is data-dependent coin-flip noise
+    // on real content — a conditional here mispredicts ~50 % of the time
+    const int m = ((v >> (s - 1)) & 1) ^ 1;  // 1 when negative-coded
+    return v - (((1 << s) - 1) & -m);
+}
+
+// last checkpoint jdec_decode_gray passed before returning (diagnostics)
+thread_local int tl_jdec_stage = 0;
+
+// Decode one frame straight to the exact gray plane. Returns 0 on
+// success, 1 to decline (caller runs the regular libavcodec path), <0 on
+// malformed data (caller also falls back).
+int jdec_decode_gray(const uint8_t* jpg, int64_t size, uint8_t* gray,
+                     int64_t cap, int64_t* out_dims) {
+    tl_jdec_stage = 0;
+    if (!g_api.ready) return 1;
+    JDec& jd = tl_jd;
+    JdecHeader hd;
+    bool tables_changed = false;
+    int rc = jdec_parse_header(jpg, size, &hd, jd, &tables_changed);
+    if (rc != 0) return rc;
+    tl_jdec_stage = 1;
+    const int w = hd.w, h = hd.h;
+    if (w <= 0 || h <= 0 ||
+        static_cast<int64_t>(w) * h > cap ||
+        static_cast<int64_t>(w) * h > (int64_t(1) << 28)) {
+        return 1;
+    }
+    tl_jdec_stage = 2;
+    // the gray LUT must already be proven for this exact geometry and the
+    // sampling layout must match the proof's pixel format
+    const ProvenGray* pg = g_proven.load(std::memory_order_acquire);
+    if (pg == nullptr || !pg->ok || pg->w != w || pg->h != h) return 1;
+    tl_jdec_stage = 3;
+    int hsub = 0, vsub = 0;
+    if (!chroma_shifts(pg->fmt, &hsub, &vsub)) return 1;
+    if (hsub != hd.ch - 1 || vsub != hd.cv - 1) return 1;
+    tl_jdec_stage = 4;
+    AvState& av = tl_av;
+    if (!av.init() || !idct_hook_ready(av)) return 1;
+    tl_jdec_stage = 5;
+    if (jdec_unstuff(jpg, size, hd.scan_start, jd) != 0) return 1;
+    tl_jdec_stage = 6;
+
+    const int mcu_w = 8 * hd.ch, mcu_h = 8 * hd.cv;
+    const int mcus_x = (w + mcu_w - 1) / mcu_w;
+    const int mcus_y = (h + mcu_h - 1) / mcu_h;
+    const int ypw = mcus_x * mcu_w;
+    const int yph = mcus_y * mcu_h;
+    // one MCU row band only: keeps the idct stores and the LUT reads
+    // inside L1/L2 instead of streaming a full padded plane through cache
+    (void)yph;
+    jd.yplane.resize(static_cast<size_t>(ypw) * mcu_h);
+    int cw = 0, chh = 0;
+    chroma_plane_dims(w, h, hsub, vsub, &cw, &chh);
+    jd.urow.resize(static_cast<size_t>(mcus_x) * 8);
+    jd.vrow.resize(static_cast<size_t>(mcus_x) * 8);
+
+    DcFlatLut& dcflat = tl_dcflat;  // hoist the TLS lookup out of the loop
+    BitReader br{jd.scan.data(), jd.scan.data() + jd.scan.size()};
+    alignas(64) int16_t blk[64];
+    int last_dc[3] = {1024, 1024, 1024};
+    const uint16_t* qy = jd.qtab[hd.comp_q[0]];
+    const uint16_t* qu = jd.qtab[hd.comp_q[1]];
+    const uint16_t* qv = jd.qtab[hd.comp_q[2]];
+    HuffTab& ydc = jd.hdc[hd.comp_dc[0]];
+    HuffTab& yac = jd.hac[hd.comp_ac[0]];
+
+    // gray LUT application state (same kernel family as apply_gray_lut,
+    // but the chroma selectors come from synthesized constant rows)
+    const bool multi = pg->n_u == 2 || pg->n_v == 2;
+    for (int my = 0; my < mcus_y; ++my) {
+        const uint64_t tsc0 = __builtin_ia32_rdtsc();
+        // --- entropy-decode one MCU row ---
+        for (int mx = 0; mx < mcus_x; ++mx) {
+            // luma blocks
+            for (int by = 0; by < hd.cv; ++by) {
+                for (int bx = 0; bx < hd.ch; ++bx) {
+                    std::memset(blk, 0, sizeof blk);
+                    br.refill32();
+                    int s, diff;
+                    {
+                        const int e = ydc.comb[static_cast<uint32_t>(
+                            br.buf >> 52)];
+                        if (__builtin_expect(e >= 0, 1)) {
+                            const int len = e & 31;
+                            s = (e >> 9) & 15;
+                            const uint64_t sh = br.buf << len;
+                            br.buf = sh << s;
+                            br.n -= len + s;
+                            // (sh>>1)>>(63-s) == sh>>(64-s), safe at s==0
+                            diff = extend_sign(
+                                static_cast<int>((sh >> 1) >> (63 - s)), s);
+                        } else {
+                            s = ydc.decode(br);
+                            if (s < 0) return -6;
+                            diff = extend_sign(s != 0 ? br.bits(s) : 0, s);
+                        }
+                        if (s > 11) return -6;
+                    }
+                    int val = diff * static_cast<int>(qy[0]) + last_dc[0];
+                    val = val < -32768 ? -32768 : (val > 32767 ? 32767 : val);
+                    last_dc[0] = val;
+                    blk[0] = static_cast<int16_t>(val);
+                    int k = 1;
+                    while (k < 64) {
+                        br.refill32();
+                        int r, sz, raw;
+                        const int e = yac.comb[static_cast<uint32_t>(
+                            br.buf >> 52)];
+                        if (__builtin_expect(e >= 0, 1)) {
+                            const int len = e & 31;
+                            r = (e >> 5) & 15;
+                            sz = (e >> 9) & 15;
+                            const uint64_t sh = br.buf << len;
+                            br.buf = sh << sz;
+                            br.n -= len + sz;
+                            raw = static_cast<int>((sh >> 1) >> (63 - sz));
+                        } else {
+                            const int rs = yac.decode(br);
+                            if (rs < 0) return -7;
+                            r = rs >> 4;
+                            sz = rs & 15;
+                            raw = sz != 0 ? br.bits(sz) : 0;
+                        }
+                        if (sz == 0) {
+                            if (r != 15) break;  // EOB
+                            k += 16;
+                            continue;
+                        }
+                        k += r;
+                        if (k > 63) return -8;
+                        const int level = extend_sign(raw, sz);
+                        blk[kTz.tz[k]] = static_cast<int16_t>(
+                            static_cast<uint16_t>(
+                                level * static_cast<int>(qy[k])));
+                        ++k;
+                    }
+                    g_idct.idct_put(
+                        jd.yplane.data() +
+                            static_cast<size_t>(by * 8) * ypw +
+                            static_cast<size_t>(mx) * mcu_w + bx * 8,
+                        ypw, blk);
+                }
+            }
+            // chroma blocks: DC-only or decline (gray content only)
+            for (int c = 1; c < 3; ++c) {
+                HuffTab& cdc = jd.hdc[hd.comp_dc[c]];
+                HuffTab& cac = jd.hac[hd.comp_ac[c]];
+                const uint16_t* q = c == 1 ? qu : qv;
+                br.refill32();
+                const int s = cdc.decode(br);
+                if (s < 0 || s > 11) return -9;
+                const int diff = extend_sign(s != 0 ? br.bits(s) : 0, s);
+                int val = diff * static_cast<int>(q[0]) + last_dc[c];
+                val = val < -32768 ? -32768 : (val > 32767 ? 32767 : val);
+                last_dc[c] = val;
+                br.refill32();
+                const int rs = cac.decode(br);
+                if (rs != 0) return 1;  // AC energy: color content
+                const int flat = dcflat.get(static_cast<int16_t>(val));
+                if (flat < 0) return 1;
+                const uint8_t fv = static_cast<uint8_t>(flat);
+                // constant over this chroma block == the whole MCU width
+                uint8_t* row = (c == 1 ? jd.urow : jd.vrow).data() + mx * 8;
+                std::memset(row, fv, 8);
+                // the value must belong to the proven chroma set
+                const uint8_t* pv = c == 1 ? pg->uvals : pg->vvals;
+                const int pn = c == 1 ? pg->n_u : pg->n_v;
+                if (fv != pv[0] && (pn < 2 || fv != pv[1])) return 1;
+            }
+        }
+        if (br.overrun > 8) return 1;  // truncated stream: not exact
+        const uint64_t tsc1 = __builtin_ia32_rdtsc();
+        g_jdec_tsc_entropy.fetch_add(tsc1 - tsc0,
+                                     std::memory_order_relaxed);
+        // --- apply the proven gray LUT over this MCU row band ---
+        const int y0 = my * mcu_h;
+        const int y1 = y0 + mcu_h < h ? y0 + mcu_h : h;
+        for (int y = y0; y < y1; ++y) {
+            const uint8_t* yrow =
+                jd.yplane.data() + static_cast<size_t>(y - y0) * ypw;
+            uint8_t* out = gray + static_cast<size_t>(y) * w;
+            int64_t i = 0;
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__) && \
+    defined(__AVX512VL__) && defined(__BMI2__)
+            __m512i t[2][2][4];
+            for (int a = 0; a < (multi ? 2 : 1); ++a) {
+                for (int b = 0; b < (multi ? 2 : 1); ++b) {
+                    for (int k = 0; k < 4; ++k) {
+                        t[a][b][k] =
+                            _mm512_loadu_si512(pg->lut[a][b] + 64 * k);
+                    }
+                }
+            }
+            if (!multi) {
+                for (; i + 64 <= w; i += 64) {
+                    __m512i x = _mm512_loadu_si512(yrow + i);
+                    __mmask64 top = _mm512_movepi8_mask(x);
+                    _mm512_storeu_si512(out + i,
+                                        lut256(x, top, t[0][0]));
+                }
+            } else {
+                const __m256i u1 =
+                    _mm256_set1_epi8(static_cast<char>(pg->uvals[1]));
+                const __m256i v1 =
+                    _mm256_set1_epi8(static_cast<char>(pg->vvals[1]));
+                const uint8_t* up = jd.urow.data();
+                const uint8_t* vp = jd.vrow.data();
+                for (; i + 64 <= w; i += 64) {
+                    __m512i x = _mm512_loadu_si512(yrow + i);
+                    __mmask64 top = _mm512_movepi8_mask(x);
+                    __mmask64 mu, mv;
+                    if (hsub != 0) {
+                        const __m256i uc = _mm256_loadu_si256(
+                            reinterpret_cast<const __m256i*>(up + (i >> 1)));
+                        const __m256i vc = _mm256_loadu_si256(
+                            reinterpret_cast<const __m256i*>(vp + (i >> 1)));
+                        const uint64_t su = _pdep_u64(
+                            _mm256_cmpeq_epi8_mask(uc, u1),
+                            0x5555555555555555ull);
+                        const uint64_t sv = _pdep_u64(
+                            _mm256_cmpeq_epi8_mask(vc, v1),
+                            0x5555555555555555ull);
+                        mu = su | (su << 1);
+                        mv = sv | (sv << 1);
+                    } else {
+                        mu = _mm512_cmpeq_epi8_mask(
+                            _mm512_loadu_si512(up + i),
+                            _mm512_broadcast_i32x4(
+                                _mm256_castsi256_si128(u1)));
+                        mv = _mm512_cmpeq_epi8_mask(
+                            _mm512_loadu_si512(vp + i),
+                            _mm512_broadcast_i32x4(
+                                _mm256_castsi256_si128(v1)));
+                    }
+                    __m512i r0 = _mm512_mask_blend_epi8(
+                        mv, lut256(x, top, t[0][0]),
+                        lut256(x, top, t[0][1]));
+                    __m512i r1 = _mm512_mask_blend_epi8(
+                        mv, lut256(x, top, t[1][0]),
+                        lut256(x, top, t[1][1]));
+                    _mm512_storeu_si512(
+                        out + i, _mm512_mask_blend_epi8(mu, r0, r1));
+                }
+            }
+#endif
+            if (!multi) {
+                for (; i < w; ++i) out[i] = pg->lut[0][0][yrow[i]];
+            } else {
+                const uint8_t* up = jd.urow.data();
+                const uint8_t* vp = jd.vrow.data();
+                for (; i < w; ++i) {
+                    const int cx = static_cast<int>(i) >> hsub;
+                    out[i] = pg->lut[up[cx] == pg->uvals[1]]
+                                    [vp[cx] == pg->vvals[1]][yrow[i]];
+                }
+            }
+        }
+        g_jdec_tsc_lut.fetch_add(__builtin_ia32_rdtsc() - tsc1,
+                                 std::memory_order_relaxed);
+    }
+    if (br.overrun > 8) return 1;
+    out_dims[0] = h;
+    out_dims[1] = w;
+    g_jdec_frames.fetch_add(1, std::memory_order_relaxed);
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -697,6 +1438,87 @@ int avdec_gray_fast_status(void) {
     return pg == nullptr ? 0 : (pg->ok ? 1 : -1);
 }
 
+// Diagnostics: locate the decoder's IDCTDSPContext inside the opened
+// MJPEG codec's private context by structural signature — six consecutive
+// pointer-sized slots (each null or inside the loaded avcodec image)
+// followed by a 64-byte permutation of 0..63 (idct_permutation). This
+// yields the ADDRESS of the exact idct/idct_put routine the decoder
+// executes plus the coefficient permutation it expects, without symbols.
+// out layout: out[0] = avcodec image base, out[1] = n candidates (<= 4);
+// then per candidate 8 slots: 6 pointer values, perm_type (the int32
+// following the table), priv_data byte offset. perm_out: 64 bytes per
+// candidate. Returns 0 on success. Pure introspection — reads only
+// memory owned by the opened decoder (bounded by malloc_usable_size).
+int avdec_find_idct(int64_t* out, uint8_t* perm_out) {
+    AvState& av = tl_av;
+    if (!av.init()) return 1;
+    Dl_info info;
+    if (dladdr(reinterpret_cast<void*>(g_api.avcodec_version), &info) == 0 ||
+        info.dli_fbase == nullptr) {
+        return 2;
+    }
+    const uintptr_t base = reinterpret_cast<uintptr_t>(info.dli_fbase);
+    const uintptr_t lib_hi = base + (uintptr_t(1) << 25);  // 32 MB span
+    const uint8_t* priv =
+        static_cast<const uint8_t*>(av.ctx->priv_data);
+    if (priv == nullptr) return 3;
+    const size_t usable = malloc_usable_size(
+        const_cast<void*>(static_cast<const void*>(priv)));
+    if (usable < 128 || usable > (size_t(1) << 24)) return 4;
+    out[0] = static_cast<int64_t>(base);
+    int n = 0;
+    for (size_t o = 48; o + 68 <= usable && n < 4; o += 8) {
+        const uint8_t* p = priv + o;
+        uint64_t seen_lo = 0, seen_hi = 0;
+        bool perm = true;
+        for (int i = 0; i < 64; ++i) {
+            const uint8_t v = p[i];
+            if (v >= 64) { perm = false; break; }
+            uint64_t& word = v < 32 ? seen_lo : seen_hi;
+            const uint64_t bit = uint64_t(1) << (v & 31);
+            if (word & bit) { perm = false; break; }
+            word |= bit;
+        }
+        if (!perm) continue;
+        const int64_t* ptrs =
+            reinterpret_cast<const int64_t*>(priv + o - 48);
+        int in_lib = 0, null_cnt = 0;
+        for (int i = 0; i < 6; ++i) {
+            const uint64_t v = static_cast<uint64_t>(ptrs[i]);
+            if (v == 0) { ++null_cnt; continue; }
+            if (v >= base && v < lib_hi) ++in_lib;
+        }
+        if (in_lib < 4 || in_lib + null_cnt != 6) continue;
+        int64_t* slot = out + 2 + n * 8;
+        for (int i = 0; i < 6; ++i) slot[i] = ptrs[i];
+        slot[6] = *reinterpret_cast<const int32_t*>(p + 64);
+        slot[7] = static_cast<int64_t>(o);
+        std::memcpy(perm_out + n * 64, p, 64);
+        ++n;
+    }
+    out[1] = n;
+    return 0;
+}
+
+// Diagnostics: call a routine located by avdec_find_idct directly.
+// kind 0: void (*idct)(int16_t *block)            — in-place transform
+// kind 1: void (*idct_put)(uint8_t *dest, ptrdiff_t line, int16_t *block)
+// The caller owns validating fn against avdec_find_idct's output first.
+int avdec_call_idct(int kind, int64_t fn, uint8_t* dest, int64_t line,
+                    int16_t* block) {
+    if (fn == 0) return 1;
+    if (kind == 0) {
+        reinterpret_cast<void (*)(int16_t*)>(fn)(block);
+        return 0;
+    }
+    if (kind == 1) {
+        reinterpret_cast<void (*)(uint8_t*, ptrdiff_t, int16_t*)>(fn)(
+            dest, static_cast<ptrdiff_t>(line), block);
+        return 0;
+    }
+    return 2;
+}
+
 // Full-BGR variant for the first-frame parity self-check and the non-gray
 // paths: swscale into the padded thread-local buffer (see above), then
 // one memcpy into the caller's exactly-sized (h, w, 3) array.
@@ -720,6 +1542,39 @@ int avdec_frame_to_bgr(uint8_t* bgr, int64_t bgr_cap) {
     if (done != h) return 4;
     std::memcpy(bgr, av.band.data(), static_cast<size_t>(n));
     return 0;
+}
+
+// First-party baseline MJPEG decode straight to exact gray (see the jdec
+// block above). Succeeds only when every exactness precondition holds:
+// the gray LUT is proven for this exact geometry, the decoder's own
+// idct_put was located and probe-verified, the stream is baseline with
+// the cv2-writer profile, and the chroma blocks are DC-only with values
+// inside the proven set. Any other frame returns nonzero and the caller
+// serves it through avdec_decode + avdec_frame_to_gray instead. The
+// caller owns the byte-compare guard that validates this path against
+// the avcodec one on its first served frame (ysmr_tpu/native.py).
+int avdec_jdec_gray(const uint8_t* jpg, int64_t size, uint8_t* gray,
+                    int64_t cap, int64_t* out_dims) {
+    return jdec_decode_gray(jpg, size, gray, cap, out_dims);
+}
+
+// How many frames the first-party decoder served (diagnostics/tests).
+long avdec_jdec_frames(void) {
+    return g_jdec_frames.load(std::memory_order_relaxed);
+}
+
+// Last checkpoint the calling thread's jdec_decode_gray passed before it
+// returned (diagnostics: 0 header .. 6 entropy loop entered).
+int avdec_jdec_stage(void) {
+    return tl_jdec_stage;
+}
+
+// Accumulated rdtsc cycles per phase (diagnostics: 0 = entropy+idct,
+// 1 = gray LUT application).
+unsigned long long avdec_jdec_tsc(int phase) {
+    return phase == 0
+               ? g_jdec_tsc_entropy.load(std::memory_order_relaxed)
+               : g_jdec_tsc_lut.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"

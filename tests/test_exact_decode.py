@@ -133,6 +133,7 @@ def test_gray_content_lut_fast_path_engages(tmp_path):
     video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=16)
     settings = _settings(tmp_path)
     before, _ = native.avdec_gray_fast_stats()
+    before_jdec = native.avdec_jdec_frames()
     reader = _reader(video, settings)
     if not reader._exact_fused:
         pytest.skip('fused path inactive on this system')
@@ -140,8 +141,13 @@ def test_gray_content_lut_fast_path_engages(tmp_path):
     after, status = native.avdec_gray_fast_stats()
     assert total == 16
     assert status == 1, 'LUT identity should be provable on this system'
-    # the self-check frame plus every fused frame goes through the LUT
-    assert after - before >= 16
+    # every fused frame takes a gray fast path: the avcodec+LUT route or
+    # the first-party jdec decoder (which fuses the same LUT); the
+    # self-check frame always exercises the LUT route
+    served_lut = after - before
+    served_jdec = native.avdec_jdec_frames() - before_jdec
+    assert served_lut >= 1
+    assert served_lut + served_jdec >= 16
 
 
 def test_color_content_declines_lut_and_stays_exact(tmp_path):
@@ -194,3 +200,83 @@ def test_per_frame_fallback_decode_matches_cap(tmp_path):
         ok, ref = cap.read()
     cap.release()
     assert ok and np.array_equal(frame, ref)
+
+
+def test_jdec_first_party_decoder_engages_and_is_exact(tmp_path):
+    # the first-party MJPEG decoder (native/avdec.cpp jdec block) must
+    # serve gray-content frames once its preconditions arm — proven gray
+    # LUT + located idct_put — and remain byte-identical to the cv2 path
+    # (the batch comparison below covers the produced pixel tables)
+    native = _avdec_or_skip()
+    av = native._load_avdec()
+    if not getattr(av, '_has_jdec', False):
+        pytest.skip('jdec entry points absent in this build')
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=16)
+    settings = _settings(tmp_path)
+    before = native.avdec_jdec_frames()
+    fused = _reader(video, settings)
+    plain = _reader(video, settings, force_cv2=True)
+    if not fused._exact_fused:
+        pytest.skip('fused path inactive on this system')
+    for a, b in zip(fused, plain):
+        for key in a['frames']:
+            assert np.array_equal(a['frames'][key], b['frames'][key]), key
+    after = native.avdec_jdec_frames()
+    if native._jdec_disabled:
+        pytest.fail('jdec kill switch tripped: first-serve byte-compare '
+                    'vs the avcodec path failed')
+    # the LUT proof arms during the self-check frame, so every fused
+    # frame after it is jdec-eligible (first serve + verification frame
+    # included); allow slack only for the self-check frame itself
+    assert after - before >= 15
+
+
+def test_jdec_declines_color_content(tmp_path):
+    native = _avdec_or_skip()
+    av = native._load_avdec()
+    if not getattr(av, '_has_jdec', False):
+        pytest.skip('jdec entry points absent in this build')
+    video = make_color_video(str(tmp_path / 'color.avi'))
+    settings = _settings(tmp_path)
+    before = native.avdec_jdec_frames()
+    fused = _reader(video, settings)
+    plain = _reader(video, settings, force_cv2=True)
+    if not fused._exact_fused:
+        pytest.skip('fused path inactive on this system')
+    for a, b in zip(fused, plain):
+        for key in a['frames']:
+            assert np.array_equal(a['frames'][key], b['frames'][key]), key
+    assert native.avdec_jdec_frames() == before, \
+        'color frames must decline jdec (no proven gray LUT applies)'
+
+
+def test_jdec_kill_switch_on_mismatch(tmp_path, monkeypatch):
+    # if jdec's first served frame ever disagreed with the avcodec path,
+    # the process-wide kill switch must trip and the output must still be
+    # exact via the fallback
+    native = _avdec_or_skip()
+    av = native._load_avdec()
+    if not getattr(av, '_has_jdec', False):
+        pytest.skip('jdec entry points absent in this build')
+    video = make_synthetic_video(str(tmp_path / 'clip.avi'), n_frames=8)
+    settings = _settings(tmp_path)
+    monkeypatch.setattr(native, '_jdec_verified', set())
+    monkeypatch.setattr(native, '_jdec_disabled', False)
+    real = native.avdec_decode_gray
+
+    def corrupted(chunk):
+        out = real(chunk)
+        if out is not None:
+            out = out.copy()
+            out[0, 0] ^= 1
+        return out
+
+    # patch only after construction: the reader's own self-check also
+    # calls avdec_decode_gray and must see the real output
+    fused = _reader(video, settings)
+    if not fused._exact_fused:
+        pytest.skip('fused path inactive on this system')
+    monkeypatch.setattr(native, 'avdec_decode_gray', corrupted)
+    list(fused)
+    assert native._jdec_disabled, \
+        'a first-serve mismatch must trip the kill switch'

@@ -178,6 +178,18 @@ def _load_avdec():
         lib.avdec_frame_plane.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        try:
+            # first-party MJPEG decoder (optional: absent in a stale .so)
+            lib.avdec_jdec_gray.restype = ctypes.c_int
+            lib.avdec_jdec_gray.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.avdec_jdec_frames.restype = ctypes.c_long
+            lib.avdec_jdec_frames.argtypes = []
+            lib._has_jdec = True
+        except AttributeError:
+            lib._has_jdec = False
         av_path, sws_path = _cv2_bundled_ffmpeg()
         if not lib.avdec_init(av_path, sws_path):
             return None
@@ -229,6 +241,15 @@ def avdec_gray_fast_stats():
     return int(av.avdec_gray_fast_frames()), int(av.avdec_gray_fast_status())
 
 
+def avdec_jdec_frames():
+    """How many frames the first-party MJPEG decoder served (diagnostics);
+    0 when the module or the entry point is unavailable."""
+    av = _load_avdec()
+    if av is None or not getattr(av, '_has_jdec', False):
+        return 0
+    return int(av.avdec_jdec_frames())
+
+
 def avdec_decode_planes(jpg):
     """Decode one JPEG chunk and return its raw planes (Y, U, V) as numpy
     arrays — ground truth for validating the first-party MJPEG decoder
@@ -261,11 +282,76 @@ def _as_u8_buf(jpg):
     return buf
 
 
+def _jpeg_sof_dims(buf):
+    """(h, w) from a baseline JPEG's SOF0 marker, or None. Tiny marker walk
+    so the jdec path can size the stage-1 buffer before decoding."""
+    n = len(buf)
+    if n < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    i = 2
+    while i + 4 <= n:
+        if buf[i] != 0xFF:
+            return None
+        m = int(buf[i + 1])
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if i + 2 > n:
+            return None
+        ln = (int(buf[i]) << 8) | int(buf[i + 1])
+        if m == 0xC0:
+            if ln < 7 or i + 7 > n:
+                return None
+            h = (int(buf[i + 3]) << 8) | int(buf[i + 4])
+            w = (int(buf[i + 5]) << 8) | int(buf[i + 6])
+            return (h, w) if h > 0 and w > 0 else None
+        if m == 0xDA:
+            return None
+        i += ln
+    return None
+
+
+#: first-party MJPEG decoder guard: geometries whose first jdec-served
+#: frame byte-matched the avcodec path, and the process-wide kill switch
+_jdec_verified = set()
+_jdec_disabled = False
+
+
+def _jdec_try_stage1(av, core, buf, h, w):
+    """Serve one frame through the first-party MJPEG decoder straight into
+    the stage-1 gray buffer. The first frame jdec serves per geometry is
+    byte-compared against the avcodec path (itself validated against
+    cv2.read by the reader's per-file self-check); any mismatch disables
+    jdec for the process. False => caller runs the avcodec path."""
+    global _jdec_disabled
+    gray_ptr = core.stage1_acquire_gray(h, w)
+    if not gray_ptr:
+        return False
+    pd = np.zeros(2, np.int64)
+    rc = av.avdec_jdec_gray(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        gray_ptr, h * w, pd.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return False
+    if (h, w) not in _jdec_verified:
+        got = np.ctypeslib.as_array(gray_ptr, shape=(h * w,)).copy()
+        ref = avdec_decode_gray(buf)
+        if ref is None or not np.array_equal(ref.ravel(), got):
+            _jdec_disabled = True
+            return False
+        _jdec_verified.add((h, w))
+    return True
+
+
 def avdec_gray_stage1(jpg, need_mean, want_stats=False):
     """Exact-decode one JPEG chunk + stage 1, mirroring
     ``decode_jpeg_gray_stage1``'s contract: gray = the exact BGR2GRAY recipe
     applied to libswscale's BGR24 (cv2's own decode arithmetic), written
-    straight into the thread's stage-1 buffer.
+    straight into the thread's stage-1 buffer. Frames are served by the
+    first-party MJPEG decoder (avdec_jdec_gray) when its exactness
+    preconditions hold — proven gray LUT, located idct_put, baseline
+    cv2-writer profile — with a first-serve byte-compare guard per
+    geometry; everything else runs the regular libavcodec path.
 
     :return: (h, w) on success (+stats array when requested), None when the
         module is unavailable or the frame failed to decode
@@ -275,17 +361,24 @@ def avdec_gray_stage1(jpg, need_mean, want_stats=False):
     if core is None or av is None:
         return None
     buf = _as_u8_buf(jpg)
-    dims = np.zeros(2, np.int64)
-    if av.avdec_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                       len(buf),
-                       dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
-        return None
-    h, w = int(dims[0]), int(dims[1])
-    gray_ptr = core.stage1_acquire_gray(h, w)
-    if not gray_ptr:
-        return None
-    if av.avdec_frame_to_gray(gray_ptr, h * w):
-        return None
+    h = w = None
+    if getattr(av, '_has_jdec', False) and not _jdec_disabled:
+        sof = _jpeg_sof_dims(buf)
+        if sof is not None and _jdec_try_stage1(av, core, buf, *sof):
+            h, w = sof
+    if h is None:
+        dims = np.zeros(2, np.int64)
+        if av.avdec_decode(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(buf),
+                dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))):
+            return None
+        h, w = int(dims[0]), int(dims[1])
+        gray_ptr = core.stage1_acquire_gray(h, w)
+        if not gray_ptr:
+            return None
+        if av.avdec_frame_to_gray(gray_ptr, h * w):
+            return None
     stats = np.zeros(2, np.float64) if want_stats else None
     core.stage1_run_from_gray(
         h, w, 1 if need_mean else 0,
@@ -295,10 +388,10 @@ def avdec_gray_stage1(jpg, need_mean, want_stats=False):
 
 def avdec_decode_gray(jpg):
     """Decode one JPEG chunk to a (h, w) exact-gray frame via the avdec
-    module — the same conversion the fused pipeline runs per frame,
-    INCLUDING the gray-content LUT fast path when it is armed. Used by the
-    first-frame self-check so the per-file guard exercises the actual
-    production path. None on failure."""
+    module's libavcodec path, INCLUDING the gray-content LUT fast path when
+    it is armed. Used by the reader's first-frame self-check (vs cv2.read)
+    and as the reference the first-party jdec decoder is byte-compared
+    against on its first served frame per geometry. None on failure."""
     av = _load_avdec()
     if av is None:
         return None
