@@ -12,6 +12,7 @@ instead of a megabyte per frame over the host-device link.
 """
 
 import logging
+import os
 import threading
 
 import cv2
@@ -39,9 +40,14 @@ class HostPreprocessor:
             fps, self.offset, self.white_on_dark) if self.mode == 'mean' else None
         self.overflowed = 0
         # fused stage 2 (adaptive modes): the native lib computes the
-        # adaptive mean and thresholds it in-register, so stage 1 skips the
-        # mean plane entirely (need_mean=False on every decode path below)
-        self._fused_s2 = self.mode != 'mean' and native.has_fused_stage2()
+        # adaptive mean and thresholds it in-register, skipping the mean
+        # plane. With the aligned-stride mean kernels the plane round trip
+        # costs less than the fused kernel's in-loop emission (interleaved
+        # A/B: 1.38 vs 1.45 ms/frame at 1228x922), so the plane path is the
+        # default; YSMR_FUSED_STAGE2=1 opts back in (both are bit-identical,
+        # tests/test_native.py::test_fused_stage2_bit_equals_unfused).
+        self._fused_s2 = (self.mode != 'mean' and native.has_fused_stage2()
+                          and os.environ.get('YSMR_FUSED_STAGE2') == '1')
         # live display (track_bacteria) needs the decoded frames alongside
         # the pixel tables; set by the pipeline when 'display video analysis'
         # is on (forces the non-fused decode path so a frame object exists)
