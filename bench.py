@@ -40,11 +40,22 @@ SEED = 123
 # Global wall-clock budget for the whole bench. The axon TPU worker can go
 # unreachable for tens of minutes (a fresh client then BLOCKS on
 # jax.devices()); without a budget the per-measurement timeouts alone could
-# stretch a single bench run past any reasonable driver limit. Measurements
-# past the deadline are skipped (reported as null) and the bench still emits
-# its one JSON line.
-BENCH_BUDGET_S = float(os.environ.get('YSMR_BENCH_BUDGET_S', 2700))
+# stretch a single bench run past the driver's own kill window (round 2's
+# record was rc=124 with NO JSON emitted). Two defences: the budget default
+# sits safely inside the driver window, and the bench EMITS PROGRESSIVELY —
+# the headline JSON line is printed the moment the headline measurement
+# lands, then re-emitted enriched after every further measurement (last
+# line wins), so a kill at any point still leaves a complete record.
+BENCH_BUDGET_S = float(os.environ.get('YSMR_BENCH_BUDGET_S', 1350))
 _T_BENCH_START = time.monotonic()
+
+# Committed fallbacks for the one-time reference measurements: the driver
+# starts each round with an empty .bench_cache/, and re-measuring the
+# reference (35 s sparse + minutes dense) inside its window is what starved
+# round 2's record. Clip synthesis is deterministic (seeded rng + MJPG
+# encode verified byte-identical across runs), so baselines recorded
+# against a regenerated clip stay valid.
+BENCH_DATA = os.path.join(REPO, 'bench_data')
 
 
 def _time_left():
@@ -457,14 +468,20 @@ def measure_dense_e2e(reps=3):
     if not os.path.isfile(dense_clip):
         make_clip(dense_clip, DENSE_CLIP_FRAMES, seed=SEED + 2,
                   n_bugs=DENSE_CLIP_BUGS)
-    base_file = os.path.join(CACHE_DIR, 'reference_dense_baseline.json')
     ref = None
-    if os.path.isfile(base_file):
-        try:
-            ref = json.load(open(base_file))
-        except Exception:
-            ref = None
-    if ref is None and os.path.isdir('/root/reference'):
+    for base_file in (os.path.join(CACHE_DIR, 'reference_dense_baseline.json'),
+                      os.path.join(BENCH_DATA,
+                                   'reference_dense_baseline.json')):
+        if os.path.isfile(base_file):
+            try:
+                ref = json.load(open(base_file))
+                break
+            except Exception:
+                ref = None
+    # measuring the reference at density takes minutes — only do it when no
+    # committed/cached baseline exists AND the budget clearly allows it
+    if ref is None and os.path.isdir('/root/reference') and \
+            _time_left() > 400:
         folder = os.path.join(CACHE_DIR, 'ref_results_dense')
         os.makedirs(folder, exist_ok=True)
         if '/root/reference' not in sys.path:
@@ -478,7 +495,8 @@ def measure_dense_e2e(reps=3):
         ref = {'reference_fps': round(DENSE_CLIP_FRAMES / dt, 3),
                'reference_tracks': int(res[0]['TRACK_ID'].nunique()),
                'reference_rows': int(res[0].shape[0])}
-        json.dump(ref, open(base_file, 'w'))
+        json.dump(ref, open(os.path.join(
+            CACHE_DIR, 'reference_dense_baseline.json'), 'w'))
 
     from ysmr_tpu.pipeline.track_bacteria import track_bacteria
     folder = os.path.join(CACHE_DIR, 'our_results_dense')
@@ -593,6 +611,51 @@ def _isolated_call(fn_name, args):
     return globals()[fn_name](*args)
 
 
+def _reference_baseline(clip):
+    """Reference fps / track count / list-CSV for the bench clip.
+
+    Resolution order: .bench_cache (complete entries only) -> the committed
+    bench_data/ fallback (clip synthesis is byte-deterministic, so the
+    committed baseline matches a regenerated clip) -> a fresh measurement,
+    budget permitting. Returns (fps, tracks, list_csv_path) with None holes.
+    """
+    baseline_file = os.path.join(CACHE_DIR, 'reference_baseline.json')
+    if os.path.isfile(baseline_file):
+        try:
+            loaded = json.load(open(baseline_file))
+            csv = loaded.get('reference_list_csv')
+            if csv and os.path.isfile(csv):
+                return (loaded['reference_fps'],
+                        loaded.get('reference_tracks'), csv)
+        except Exception:
+            pass
+    fb = os.path.join(BENCH_DATA, 'reference_baseline.json')
+    if os.path.isfile(fb):
+        try:
+            loaded = json.load(open(fb))
+            csv = os.path.join(BENCH_DATA, loaded['reference_list_csv'])
+            if os.path.isfile(csv):
+                return (loaded['reference_fps'],
+                        loaded.get('reference_tracks'), csv)
+        except Exception:
+            pass
+    if os.path.isdir('/root/reference') and _time_left() > 240:
+        result_folder = os.path.join(CACHE_DIR, 'ref_results')
+        os.makedirs(result_folder, exist_ok=True)
+        try:
+            ref_fps, ref_tracks, ref_list_csv = measure_reference(
+                clip, result_folder)
+            json.dump({'reference_fps': ref_fps,
+                       'reference_tracks': ref_tracks,
+                       'reference_list_csv': ref_list_csv},
+                      open(baseline_file, 'w'))
+            return ref_fps, ref_tracks, ref_list_csv
+        except Exception as exc:  # baseline unavailable; still report ours
+            print('reference baseline failed: {}'.format(exc),
+                  file=sys.stderr)
+    return None, None, None
+
+
 def _run_isolated(fn_name, *args, timeout=900, attempts=2, retry_delay=75):
     """Run a measurement in its own fresh spawn process, with a hang timeout
     and a delayed retry.
@@ -683,114 +746,102 @@ def main():
     if not os.path.isfile(warmup_clip):
         make_clip(warmup_clip, N_WARMUP_FRAMES, seed=SEED + 1)
 
-    baseline_file = os.path.join(CACHE_DIR, 'reference_baseline.json')
-    ref_fps = ref_tracks = ref_list_csv = None
-    if os.path.isfile(baseline_file):
-        try:
-            loaded = json.load(open(baseline_file))
-            ref_fps = loaded['reference_fps']
-            ref_tracks = loaded.get('reference_tracks')
-            ref_list_csv = loaded.get('reference_list_csv')
-        except Exception:
-            ref_fps = None
-    if (ref_fps is None or not (ref_list_csv and
-                                os.path.isfile(ref_list_csv))) and \
-            os.path.isdir('/root/reference'):
-        result_folder = os.path.join(CACHE_DIR, 'ref_results')
-        os.makedirs(result_folder, exist_ok=True)
-        try:
-            ref_fps, ref_tracks, ref_list_csv = measure_reference(
-                clip, result_folder)
-            json.dump({'reference_fps': ref_fps,
-                       'reference_tracks': ref_tracks,
-                       'reference_list_csv': ref_list_csv},
-                      open(baseline_file, 'w'))
-        except Exception as exc:  # baseline unavailable; still report ours
-            print('reference baseline failed: {}'.format(exc), file=sys.stderr)
-            ref_fps = None
+    # the record is emitted after EVERY completed measurement (last line
+    # wins): a driver kill at any point leaves the best complete snapshot
+    record = {
+        'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
+        'value': None,
+        'unit': 'frames/s',
+        'vs_baseline': None,
+    }
+
+    ref_fps, ref_tracks, ref_list_csv = _reference_baseline(clip)
 
     result_folder = os.path.join(CACHE_DIR, 'our_results')
     os.makedirs(result_folder, exist_ok=True)
-    # Every device-touching measurement runs in its own spawn process: the
-    # parent never initializes the TPU client, so one axon worker crash can
-    # only cost (and retry) the one measurement it hit (see _run_isolated).
+    # Every device-touching measurement runs in its own fresh spawn process:
+    # the parent never initializes the TPU client, so one axon worker crash
+    # can only cost (and retry) the one measurement it hit (_run_isolated).
     # headline: exact decode mode — pixel-identical input to the reference,
     # hence identical track counts/statistics (the parity requirement)
-    headline = _run_isolated('measure_ours', clip, warmup_clip, result_folder,
+    reps = 5 if _time_left() > 700 else 3
+    headline = _run_isolated('measure_ours', clip, warmup_clip,
+                             result_folder, None, reps,
                              timeout=600, attempts=3)
     if headline is None:
         # TPU unreachable through every retry window (outages of 30+ min
         # observed): emit one honest JSON line anyway — the host-only floor
         # still measures, and a null value beats a crashed bench record.
-        host_floor = _run_isolated('measure_host_floor', clip, timeout=300)
-        emit({
-            'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
-            'value': None,
-            'unit': 'frames/s',
-            'vs_baseline': None,
-            'error': 'tpu unreachable: headline failed all attempts',
-            'host_floor': host_floor,
-        })
+        record['error'] = 'tpu unreachable: headline failed all attempts'
+        emit(record)
+        record['host_floor'] = _run_isolated('measure_host_floor', clip,
+                                             timeout=300)
+        emit(record)
         return
     ours, ours_tracks, our_df = headline
+    record.update({
+        'value': ours['median'],
+        'vs_baseline':
+            round(ours['median'] / ref_fps, 2) if ref_fps else None,
+        'value_min': ours['min'],
+        'value_max': ours['max'],
+        'reps': ours['reps'],
+        'track_count': ours_tracks,
+        'identical_track_count_vs_reference':
+            (ours_tracks == ref_tracks) if ref_tracks else None,
+    })
     # row-level parity guard on the full 630-frame clip, not just counts
     try:
         rows_identical, parity_detail = check_row_parity(our_df, ref_list_csv)
     except Exception as exc:
         print('row parity check failed: {}'.format(exc), file=sys.stderr)
         rows_identical = parity_detail = None
+    record['identical_rows_vs_reference'] = rows_identical
+    record['row_parity_detail'] = parity_detail
+    emit(record)  # the headline is now on the record, whatever happens next
+
+    # host floor: measured proof that the remaining e2e gap is the host's
+    # serial decode+preproc on ONE core, not the chip (device_only_fps).
+    # Host-only (no jax), but isolated too so its native thread-local
+    # buffers can't interact with the parent. Cheap — run it right after
+    # the headline so efficiency is on the record early.
+    host_floor = _run_isolated('measure_host_floor', clip, timeout=300)
+    record['host_floor'] = host_floor
+    record['e2e_host_efficiency'] = \
+        round(record['value'] / host_floor['host_floor_fps'], 3) \
+        if host_floor else None
+    emit(record)
+
     # chip-only throughput: what the device does when the host never
     # starves it (pre-staged batches, scalar-fetch timing)
-    device_fps = _run_isolated('measure_device_only', clip)
+    record['device_only_fps'] = _run_isolated('measure_device_only', clip)
+    emit(record)
+
     # secondary: fast MJPG grayscale decode (gray within +-2 of exact; on
     # this clip 329 tracks vs the reference's 328 — see io/video.py)
     fast_folder = os.path.join(CACHE_DIR, 'our_results_fast')
     os.makedirs(fast_folder, exist_ok=True)
     fast = _run_isolated('measure_ours', clip, warmup_clip, fast_folder,
-                         {'decode mode': 'fast'})
+                         {'decode mode': 'fast'}, 3)
     fast = fast[0] if fast else None
+    record['fast_decode_value'] = fast['median'] if fast else None
+    record['fast_decode_vs_baseline'] = \
+        round(fast['median'] / ref_fps, 2) if (fast and ref_fps) else None
+    emit(record)
 
-    # host floor: measured proof that the remaining e2e gap is the host's
-    # serial decode+preproc on ONE core, not the chip (device_only_fps).
-    # Host-only (no jax), but isolated too so its native thread-local
-    # buffers can't interact with the parent.
-    host_floor = _run_isolated('measure_host_floor', clip, timeout=300)
+    # dense e2e on a real clip, both sides (reference baseline committed in
+    # bench_data/, so no reference run happens here)
+    dense_e2e = _run_isolated('measure_dense_e2e', timeout=600)
+    record['dense_e2e'] = dense_e2e
+    emit(record)
 
-    # dense-scene stretch (BASELINE config 5) as secondary fields so the
-    # recorded bench carries the scale story too
+    # dense-scene stretch (BASELINE config 5, synthetic device-only) last:
+    # its fresh 16k-shape compiles are the most crash-prone phase
     dense = _run_isolated('measure_dense')
     dense_objects, dense_fps = dense if dense else (None, None)
-
-    # dense e2e on a real clip, both sides (reference cached one-time)
-    dense_e2e = _run_isolated('measure_dense_e2e', timeout=1500)
-
-    value = ours['median']
-    vs_baseline = (value / ref_fps) if ref_fps else None
-    emit({
-        'metric': 'frames_per_sec_per_chip_1228x922_detect_track',
-        'value': value,
-        'unit': 'frames/s',
-        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
-        'value_min': ours['min'],
-        'value_max': ours['max'],
-        'reps': ours['reps'],
-        'device_only_fps': device_fps,
-        'host_floor': host_floor,
-        'e2e_host_efficiency':
-            round(value / host_floor['host_floor_fps'], 3)
-            if host_floor else None,
-        'fast_decode_value': fast['median'] if fast else None,
-        'fast_decode_vs_baseline':
-            round(fast['median'] / ref_fps, 2) if (fast and ref_fps) else None,
-        'dense_scene_objects_per_frame': dense_objects,
-        'dense_scene_fps': dense_fps,
-        'dense_e2e': dense_e2e,
-        'track_count': ours_tracks,
-        'identical_track_count_vs_reference':
-            (ours_tracks == ref_tracks) if ref_tracks else None,
-        'identical_rows_vs_reference': rows_identical,
-        'row_parity_detail': parity_detail,
-    })
+    record['dense_scene_objects_per_frame'] = dense_objects
+    record['dense_scene_fps'] = dense_fps
+    emit(record)
 
 
 if __name__ == '__main__':
