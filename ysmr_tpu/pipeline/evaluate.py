@@ -90,40 +90,42 @@ def evaluate_tracks(path_to_file, results_directory, df=None, settings=None,
     logger = logging.getLogger('ysmr').getChild(__name__)
     settings = get_configs(settings)
     if settings is None:
-        logger.critical('No settings provided.')
+        logger.critical('Settings missing; cannot evaluate.')
         return None
     if fps is None or fps <= 0 or settings['force tracking.ini fps settings']:
         if settings['frames per second'] > 0:
             fps = settings['frames per second']
         else:
-            logger.critical('fps value is negative or zero; cannot continue.')
+            logger.critical('Unusable fps value (<= 0); aborting evaluation.')
             return None
     file_name = os.path.splitext(os.path.basename(path_to_file))[0]
     if not isinstance(df, pd.DataFrame):
         if settings['verbose']:
-            logger.debug('Handing string to get_data %s', path_to_file)
+            logger.debug('Loading selected tracks from %s', path_to_file)
         df = get_data(path_to_file)
     if df is None:
-        logger.critical('Error reading data frame from file %s', path_to_file)
+        logger.critical('Selected-track table could not be read: %s', path_to_file)
         return None
     diff_tracks_start, track_change = different_tracks(df)
     px_to_micrometre = settings['pixel per micrometre']
 
-    plot_title_name = file_name.replace('_', ' ')
-    if '_selected_data' in file_name:
-        plot_title_name = plot_title_name[:-len('_selected_data')]
-    original_plot_date = plot_title_name[:12]
-    if original_plot_date.isdigit() and len(original_plot_date) == 12:
+    # plot title: the reference's convention — strip the _selected_data
+    # suffix, turn underscores into spaces, and render a leading
+    # yymmddHHMMSS capture timestamp as a human date (track_eval.py:430-445)
+    title = file_name.removesuffix('_selected_data').replace('_', ' ')
+    stamp = title[:12]
+    if len(stamp) == 12 and stamp.isdigit():
         try:
-            original_plot_date = strftime(
-                "%d. %m. '%y,", strptime(str(original_plot_date), '%y%m%d%H%M%S'))
-            plot_title_name = '{} {}'.format(original_plot_date, plot_title_name[12:])
+            pretty = strftime("%d. %m. '%y,", strptime(stamp, '%y%m%d%H%M%S'))
         except ValueError:
             pass
+        else:
+            title = '{} {}'.format(pretty, title[12:])
+    plot_title_name = title
     save_path = os.path.join(results_directory, file_name) + '_{}{}'
 
     if settings['verbose']:
-        logger.debug('Calculating x_delta, y_delta, t_delta, travelled_dist')
+        logger.debug('Computing per-row deltas and travelled distance')
     df['x_delta'] = df['POSITION_X'].diff()
     df['y_delta'] = df['POSITION_Y'].diff()
     df['t_delta'] = df['POSITION_T'].diff()
@@ -132,14 +134,15 @@ def evaluate_tracks(path_to_file, results_directory, df=None, settings=None,
     for letter in ['x', 'y', 't']:
         item = '{}_delta'.format(letter)
         if df[item].isnull().any():
-            logger.critical('%s has NaN value(s) after clean-up at position(s): %s',
-                            item, np.where(df[item].isnull())[0])
-            logger.critical('%s track starts: %s', item, diff_tracks_start)
+            logger.critical('NaN remained in %s after clean-up at row(s) %s '
+                            '(track start rows: %s)', item,
+                            np.where(df[item].isnull())[0], diff_tracks_start)
 
     df['t_norm'] = df['POSITION_T'].sub(
         df.groupby('TRACK_ID')['POSITION_T'].transform('first')).astype(np.int32)
     if any(df['t_norm'] < 0):
-        logger.critical('POSITION_T contains negative values')
+        logger.critical('Negative POSITION_T values; cannot evaluate %s',
+                        path_to_file)
         return None
 
     df['WIDTH'] = df['WIDTH'] / px_to_micrometre
@@ -149,7 +152,7 @@ def evaluate_tracks(path_to_file, results_directory, df=None, settings=None,
                                 df['HEIGHT']).astype(np.float16)
 
     if settings['verbose']:
-        logger.debug('Starting with statistical calculations per track')
+        logger.debug('Computing the per-track statistics table')
     df['travelled_dist'] = np.sqrt(np.square(df['x_delta']) +
                                    np.square(df['y_delta'])) / px_to_micrometre
     df['moving'] = df['travelled_dist'] / df['t_delta']

@@ -138,7 +138,7 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
         logger.critical('No settings provided / could not get settings.')
         return None
     if settings['verbose']:
-        logger.debug('Have accepted string %s', path_to_file)
+        logger.debug('Selecting tracks for %s', path_to_file)
     if path_to_file is None:
         path_to_file = settings.get('path to test .csv', None)
     if results_directory is None:
@@ -149,20 +149,20 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
         if settings['frames per second'] > 0:
             fps = settings['frames per second']
         else:
-            logger.critical('fps value is negative or zero; cannot continue.')
+            logger.critical('Unusable fps value (<= 0); aborting selection.')
             return None
     minimal_length_frames = int(round(fps, 0) * settings['minimal length in seconds'])
     limit_track_to_frames = int(round(fps, 0) * settings['limit track length to x seconds'])
     if settings['extreme area outliers lower end in px*px'] >= \
             settings['extreme area outliers upper end in px*px']:
         logger.critical(
-            'Minimal area exclusion in px^2 larger or equal to maximum; will not be '
-            'able to find tracks. Please update tracking.ini. Lower: %s, upper: %s',
+            'Area outlier bounds are inverted (lower >= upper) — no track '
+            'can pass. Fix tracking.ini. Lower: %s, upper: %s',
             settings['extreme area outliers lower end in px*px'],
             settings['extreme area outliers upper end in px*px'])
         return None
     if frame_width is None or frame_height is None:
-        logger.debug('Retrieving frame width/height from tracking.ini.')
+        logger.debug('Frame dimensions not passed in; using tracking.ini values.')
         frame_width = settings['frame width']
         frame_height = settings['frame height']
     if frame_height <= 0 or frame_width <= 0:
@@ -175,15 +175,15 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
         return None
     if not isinstance(df, pd.DataFrame):
         if settings['verbose']:
-            logger.debug('Handing string to get_data %s', path_to_file)
+            logger.debug('Loading track table from %s', path_to_file)
         df = get_data(path_to_file)
     if df is None:
-        logger.critical('Error reading data frame from file %s', path_to_file)
+        logger.critical('Track table could not be read: %s', path_to_file)
         return None
     if df.shape[0] < minimal_length_frames:
         logger.critical(
-            'File is empty/of insufficient length before initial clean-up. '
-            'Minimal size (frames): %s, length: %s, path: %s',
+            'Too few rows before initial clean-up (need %s frames, have '
+            '%s): %s',
             minimal_length_frames, df.shape[0], path_to_file)
         return None
 
@@ -193,7 +193,7 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
     # --- vectorised NaN marking (track_eval.py:626-674) ---
     df['area'] = df['WIDTH'] * df['HEIGHT']
     if settings['verbose']:
-        logger.debug('Starting to set NaNs')
+        logger.debug('Marking excluded measurements as NaN')
     df['average_area'] = df.groupby('TRACK_ID')['area'].transform('median')
     df['area'] = np.where(
         (df['average_area'] >= settings['extreme area outliers lower end in px*px']) &
@@ -213,13 +213,13 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
     df['area'] = np.where(df['length'] >= minimal_length_frames, df['area'], np.nan)
 
     if settings['verbose']:
-        logger.debug('Dropping NaN values from df')
+        logger.debug('Dropping NaN-marked rows')
     df.dropna(inplace=True, subset=['area'])
     df.reset_index(drop=True, inplace=True)
     if df.shape[0] < minimal_length_frames:
         logger.warning(
-            'File is empty/of insufficient length after initial clean-up. '
-            'Minimal size: %s, length: %s, path: %s',
+            'Too few rows left after initial clean-up (need %s, have %s): '
+            '%s',
             minimal_length_frames, df.shape[0], path_to_file)
         return None
     track_start, track_change = different_tracks(df)
@@ -267,14 +267,14 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
                 100 * settings['stop excluding motility outliers if total count '
                                'above percent'],
                 100 * outlier_percents, q3_dist)
-            logger.info('Distance outlier exclusion switched off due to too many '
-                        'outliers')
+            logger.info('Disabling distance-outlier exclusion: outlier share '
+                        'too high')
             df['distance'] = np.zeros(df.shape[0], dtype=np.int8)
     else:
         df['distance'] = np.zeros(df.shape[0], dtype=np.int8)
 
     if settings['verbose']:
-        logger.debug('Starting with fine selection')
+        logger.debug('Running the per-track selection gauntlet')
 
     arrays = (df['POSITION_T'].to_numpy(), df['area'].to_numpy(),
               df['ratio_wh'].to_numpy(), df['POSITION_X'].to_numpy(),
@@ -320,14 +320,14 @@ def select_tracks(path_to_file=None, df=None, results_directory=None, fps=None,
     logger.info('All tracks before fine selection: %s, left over: %s, difference: %s',
                 len(track_change), len(good_track),
                 len(track_change) - len(good_track))
-    kick_string = ('Total: {9}; size < 600: {8}; holes > 6: {7}; '
-                   'distance outlier: {6}; duration 5% over size: {5}; '
-                   'area out of bounds: {4}; ratio wrong: {3}; '
-                   'average x/y not within bounds: {2}; min/max xy not within '
-                   'screen: {1}; passed: {0}').format(*kick_reasons,
-                                                      sum(kick_reasons))
+    kick_string = ('Gauntlet tally — total: {9}, passed: {0}; rejected for '
+                   'off-screen min/max xy: {1}, average xy near edge: {2}, '
+                   'bad w/h ratio: {3}, area bounds: {4}, duration vs size: '
+                   '{5}, distance outliers: {6}, hole count: {7}, '
+                   'short size: {8}').format(*kick_reasons,
+                                             sum(kick_reasons))
     if kick_reasons[0] < 1000 and kick_reasons[0] / max(sum(kick_reasons), 1) < 0.3:
-        logger.warning('Low amount of accepted tracks')
+        logger.warning('Few tracks passed selection')
         logger.warning(kick_string)
     else:
         logger.info(kick_string)

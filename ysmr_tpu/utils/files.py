@@ -6,201 +6,230 @@ creation dates, :439-516 ``find_paths``, :519-583 ``get_any_paths``,
 :1239-1333 ``make_dir``/``metadata_file``): dated ``YYMMDD_Results/`` folders,
 recursive file discovery with age filters, an optional Tk file dialog, and the
 ``_meta.json`` sidecar that carries fps/frame dimensions between pipeline
-stages so each stage can restart from CSV alone.
+stages so each stage can restart from CSV alone. The artifact contracts
+(folder naming, sidecar filename derivation, age-window semantics) match the
+reference; the internals are this package's own.
 """
 
 import json
 import logging
 import os
-import platform
 from datetime import datetime
 from glob import glob
 from time import localtime, strftime
 
 import numpy as np
 
+#: stage-CSV suffixes whose sidecar lives next to the ORIGINAL input file:
+#: ``movie_list.csv`` and friends all map to ``movie_meta.json``
+_STAGE_SUFFIXES = ('_analysed.csv', '_list.csv', '_selected_data.csv',
+                   '_statistics.csv')
+_META_SUFFIX = '_meta.json'
+
+
+def _log():
+    return logging.getLogger('ysmr').getChild(__name__)
+
 
 def make_dir(new_directory):
     """Create a directory tree; silently succeed if it already exists."""
-    if os.path.isdir(new_directory):
-        return
     if os.path.isfile(new_directory):
-        raise OSError('A file with the same name as the desired dir, '
-                      '\'{}\', already exists.'.format(new_directory))
+        raise OSError("cannot create directory '{}': a file by that name "
+                      'exists'.format(new_directory))
     os.makedirs(new_directory, exist_ok=True)
 
 
 def create_results_folder(path):
     """Create a dated result folder next to ``path`` (YYMMDD_Results/)."""
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    dir_form = '{}_Results/'.format(str(strftime('%y%m%d', localtime())))
-    if isinstance(path, (str, os.PathLike)):
-        pass
-    elif isinstance(path, (list, tuple)):
-        path = path[0]
-    else:
+    logger = _log()
+    if isinstance(path, (list, tuple)):
+        path = path[0] if path else None
+    if not isinstance(path, (str, os.PathLike)):
         path = './'
-        logger.critical('Could not access base path in path to files; '
-                        'results folder created in %s', os.path.abspath(path))
-    directory = os.path.abspath(os.path.join(os.path.dirname(path), dir_form))
-    if not os.path.exists(directory):
-        try:
-            make_dir(directory)
-            logger.info('Results folder: %s', directory)
-        except OSError as makedir_error:
-            logger.exception(makedir_error)
-            logger.warning('Unable to create %s, directory changed to %s',
-                           directory, os.path.abspath('./'))
-            directory = './'
+        logger.critical('No usable base path for the results folder; '
+                        'falling back to %s', os.path.abspath(path))
+    stamp = strftime('%y%m%d', localtime())
+    directory = os.path.abspath(os.path.join(
+        os.path.dirname(path), '{}_Results/'.format(stamp)))
+    if os.path.exists(directory):
+        return directory
+    try:
+        make_dir(directory)
+        logger.info('Results folder: %s', directory)
+    except OSError as mk_err:
+        logger.exception(mk_err)
+        directory = './'
+        logger.warning('Results folder could not be created; writing '
+                       'to %s instead', os.path.abspath(directory))
     return directory
 
 
 def creation_date(path_to_file):
-    """Seconds since the file was created (or last modified on Linux)."""
+    """Age of a file in seconds (negative for timestamps in the future).
+
+    Windows exposes a true creation time via ``getctime``; elsewhere the
+    birth time is used when the filesystem records it, otherwise the
+    modification time (ctime on Linux is metadata-change, not creation).
+    """
     if not os.path.isfile(path_to_file):
         return None
-    now = datetime.now()
-    if platform.system() == 'Windows':
-        then = os.path.getctime(path_to_file)
+    if os.name == 'nt':
+        born = os.path.getctime(path_to_file)
     else:
-        stat = os.stat(path_to_file)
-        then = getattr(stat, 'st_birthtime', stat.st_mtime)
-    return (now - datetime.fromtimestamp(then)).total_seconds()
+        st = os.stat(path_to_file)
+        born = getattr(st, 'st_birthtime', st.st_mtime)
+    return (datetime.now() - datetime.fromtimestamp(born)).total_seconds()
 
 
 def elapsed_time(time_one):
-    """Time difference between ``time_one`` and now."""
-    logger = logging.getLogger('ysmr').getChild(__name__)
+    """Time difference between ``time_one`` and now (None on bad input)."""
     try:
         return datetime.now() - time_one
     except (ValueError, TypeError) as val_error:
-        logger.exception(val_error)
+        _log().exception(val_error)
         return None
 
 
-def find_paths(base_path, extension, minimal_age=0, maximal_age=np.inf, recursive=True):
-    """Find files under ``base_path`` matching ``extension`` within an age window."""
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    if not os.path.exists(base_path):
-        logger.warning('Path could not be found: %s', base_path)
+def find_paths(base_path, extension, minimal_age=0, maximal_age=np.inf,
+               recursive=True):
+    """Files under ``base_path`` matching ``extension``, filtered by age.
+
+    The age window is ``minimal_age <= age <= maximal_age`` in seconds.
+    Files whose timestamp lies in the future (negative age) are skipped
+    with a warning unless ``minimal_age`` is itself negative, in which
+    case they are accepted unconditionally — the reference's semantics
+    for clock-skewed network shares (helper_file.py:476-516).
+    """
+    logger = _log()
+    root = str(base_path)
+    if not os.path.exists(root):
+        logger.warning('Search path does not exist: %s', root)
         return None
-    if base_path[-1] != '/':
-        base_path = '{}/'.format(base_path)
-    pattern = ('{}**/*{}' if recursive else '{}*{}').format(base_path, extension)
-    out_files = []
-    for file in glob(pattern, recursive=recursive):
-        file = file.replace(os.sep, '/')
-        age = creation_date(file)
+    if not root.endswith('/'):
+        root += '/'
+    pattern = '{}{}*{}'.format(root, '**/' if recursive else '', extension)
+    accept_future = minimal_age < 0
+    hits = []
+    for hit in glob(pattern, recursive=recursive):
+        hit = hit.replace(os.sep, '/')
+        age = creation_date(hit)
         if age is None:
             continue
-        if age >= 0 or (age < 0 and minimal_age < 0):
-            if maximal_age >= age >= minimal_age or (age < 0 and minimal_age < 0):
-                out_files.append(file)
-        else:
-            logger.warning('The file appears to be %.2f seconds from the future '
-                           'and was thus not selected. File: %s', abs(age), file)
-    return out_files
+        if age < 0:
+            if accept_future:
+                hits.append(hit)
+            else:
+                logger.warning('Skipping %s: timestamp is %.2f s in the '
+                               'future', hit, -age)
+        elif minimal_age <= age <= maximal_age:
+            hits.append(hit)
+    return hits
 
 
 def get_any_paths(prev_dir=None, rename=False, file_types=None, settings=None):
     """Ask the user for files via a Tk dialog (interactive sessions only).
 
-    Reference behaviour (helper_file.py:519-583); returns None in headless
-    environments where tkinter cannot open a display.
+    Reference behaviour (helper_file.py:519-583): the starting directory is
+    remembered in the tracking ini's ``[HOUSEKEEPING]`` section when
+    ``rename`` is set. Returns None in headless environments where tkinter
+    cannot open a display.
     """
-    logger = logging.getLogger('ysmr').getChild(__name__)
+    logger = _log()
     from ysmr_tpu.config import get_configs
-    settings = get_configs(settings)
+    conf = get_configs(settings)
     try:
-        import tkinter.filedialog as filedialog
-        from tkinter import Tk
+        from tkinter import Tk, filedialog
     except ImportError:
-        logger.exception('Cannot import tkinter; files have to be specified manually.')
+        logger.exception('tkinter is unavailable; pass file paths '
+                         'explicitly instead.')
         return None
     import configparser
     parser = configparser.ConfigParser(allow_no_value=True)
-    if settings:
-        parser.read(settings['tracking_ini_filepath'])
+    if conf:
+        parser.read(conf['tracking_ini_filepath'])
     if prev_dir is None:
         try:
-            prev_dir = parser['HOUSEKEEPING'].get('previous directory', fallback='./')
+            prev_dir = parser['HOUSEKEEPING'].get('previous directory',
+                                                  fallback='./')
         except (configparser.Error, KeyError):
             prev_dir = './'
     if file_types is None:
         file_types = [('all files', '.*'), ('csv', '.csv'), ('avi', '.avi'),
                       ('mkv', '.mkv'), ('mov', '.mov'), ('mp4', '.mp4')]
     try:
-        root = Tk()
-        root.overrideredirect(1)
-        root.withdraw()
-        paths = filedialog.askopenfilenames(
+        tk_root = Tk()
+        tk_root.overrideredirect(1)
+        tk_root.withdraw()
+        chosen = filedialog.askopenfilenames(
             title='Choose files. ', filetypes=file_types,
-            defaultextension=file_types[0][1], multiple=True, initialdir=prev_dir)
-    except Exception as ex:
-        logger.exception('An exception of type %s occurred. Arguments: %r',
-                         type(ex).__name__, ex.args)
+            defaultextension=file_types[0][1], multiple=True,
+            initialdir=prev_dir)
+    except Exception as dialog_err:
+        logger.exception('File dialog failed (%s): %r',
+                         type(dialog_err).__name__, dialog_err.args)
         return None
-    if paths and rename and settings:
-        curr_path = os.path.dirname(paths[0])
+    if chosen and rename and conf:
+        new_prev = os.path.dirname(chosen[0])
         try:
-            parser.set('HOUSEKEEPING', 'previous directory', curr_path)
-            with open(settings['tracking_ini_filepath'], 'w') as configfile:
-                parser.write(configfile)
-            logger.debug('Previous directory set to %s', curr_path)
+            parser.set('HOUSEKEEPING', 'previous directory', new_prev)
+            with open(conf['tracking_ini_filepath'], 'w') as ini_fh:
+                parser.write(ini_fh)
+            logger.debug('Previous directory set to %s', new_prev)
         except Exception:
             pass
-    return paths
+    return chosen
 
 
-def metadata_file(path=None, verbose=False, additional_search_paths=None, **kwargs):
+def _sidecar_path(any_path):
+    """``_meta.json`` filename for an input file or any of its stage CSVs."""
+    for suffix in _STAGE_SUFFIXES:
+        if any_path.endswith(suffix):
+            return any_path[:-len(suffix)] + _META_SUFFIX
+    if any_path.endswith(_META_SUFFIX):
+        return any_path
+    return os.path.splitext(any_path)[0] + _META_SUFFIX
+
+
+def metadata_file(path=None, verbose=False, additional_search_paths=None,
+                  **kwargs):
     """Read/update the per-input ``_meta.json`` sidecar.
 
-    Searches the file's folder, its parent, and any additional paths; strips
-    None values; new kwargs win over file contents (helper_file.py:1267-1333).
+    The sidecar is looked for next to ``path`` first, then one directory
+    level up (stage CSVs live in ``YYMMDD_Results/`` below the input
+    video), then under any ``additional_search_paths``. None values are
+    stripped on read and write; fresh kwargs override file contents
+    (helper_file.py:1267-1333). Returns the merged dict.
     """
-    logger = logging.getLogger('ysmr').getChild(__name__)
-    internal_ext = ['_analysed.csv', '_list.csv', '_selected_data.csv', '_statistics.csv']
-    meta_ext = '_meta.json'
+    logger = _log()
+    folder, file_name = os.path.split(path)
+    one_level_up = os.path.join(os.path.dirname(folder), file_name)
+    extra = additional_search_paths or []
+    if isinstance(extra, (str, os.PathLike)):
+        extra = [extra]
+    candidates = [_sidecar_path(p)
+                  for p in [path, one_level_up, *extra]]
+
     meta_data = {}
-
-    path_parent, file_name = os.path.split(path)
-    path_parent = os.path.join(os.path.dirname(path_parent), file_name)
-    search_paths = [path, path_parent]
-    if additional_search_paths:
-        if isinstance(additional_search_paths, (str, os.PathLike)):
-            search_paths.append(additional_search_paths)
-        else:
-            search_paths.extend(additional_search_paths)
-
-    mod_search_paths = []
-    for curr_path in search_paths:
-        for ext in internal_ext:
-            if ext in curr_path[-len(ext):]:
-                curr_path = '{}.dummy'.format(curr_path[:-len(ext)])
-                break
-        if meta_ext not in curr_path[-len(meta_ext):]:
-            curr_path = '{}{}'.format(os.path.splitext(curr_path)[0], meta_ext)
-        mod_search_paths.append(curr_path)
-    save_path = mod_search_paths[0]
-
-    for curr_path in mod_search_paths:
+    save_path = candidates[0]
+    for candidate in candidates:
         if verbose:
-            logger.debug('Searching for meta file in path: %s', curr_path)
+            logger.debug('Searching for meta file in path: %s', candidate)
         try:
-            with open(curr_path, 'r') as file:
-                unfiltered = json.load(file)
-            meta_data.update({k: v for k, v in unfiltered.items() if v is not None})
-            save_path = curr_path
-            break
+            with open(candidate, 'r') as meta_fh:
+                on_disk = json.load(meta_fh)
         except (FileNotFoundError, PermissionError, ValueError):
-            pass
+            continue
+        meta_data.update(
+            {k: v for k, v in on_disk.items() if v is not None})
+        save_path = candidate
+        break
 
-    filtered_kwargs = {k: v for k, v in kwargs.items() if v is not None}
-    if filtered_kwargs:
-        meta_data.update(filtered_kwargs)
+    fresh = {k: v for k, v in kwargs.items() if v is not None}
+    if fresh:
+        meta_data.update(fresh)
         try:
-            with open(save_path, 'w+') as file:
-                json.dump(meta_data, file)
-        except (PermissionError, FileNotFoundError) as ex:
-            logger.exception(ex)
+            with open(save_path, 'w+') as meta_fh:
+                json.dump(meta_data, meta_fh)
+        except (FileNotFoundError, PermissionError) as write_err:
+            logger.exception(write_err)
     return meta_data
