@@ -509,9 +509,11 @@ struct MeanRing {
         next_h = 0;
         stride = (w + 15) & ~int64_t(15);
         ring.resize(16 * stride + 16);
-        // the 4-wide tap block loads v4 at pr + x + 64 .. + 79 with
-        // x + 64 <= w, so padrow needs w + 80 readable floats
-        padrow.resize(w + 80 + 16);
+        // the 4-wide tap block's last v4 load covers pr[w .. w+15] (x = w-64
+        // at most), so padrow needs w + 16 readable floats past pr; only
+        // pr[0 .. w+9] is ever written, so keep the tail pad zeroed
+        padrow.resize(w + 16 + 16);
+        std::fill(padrow.begin(), padrow.end(), 0.0f);
         ringp = reinterpret_cast<float*>(
             (reinterpret_cast<uintptr_t>(ring.data()) + 63) & ~uintptr_t(63));
         pr = reinterpret_cast<float*>(
@@ -556,7 +558,7 @@ struct MeanRing {
     // accumulators, cutting the vertical pass's L2 read amplification from
     // 11x to 3.5x. Identical per-row accumulation order -> bit-equal to
     // mean_row.
-    void mean_rows4(int64_t h, int64_t y, uint8_t* out, int64_t stride) {
+    void mean_rows4(int64_t h, int64_t y, uint8_t* out, int64_t out_stride) {
         hpass_upto(y + 8);
         const float* rows[14];
         for (int k = 0; k < 14; ++k) rows[k] = slot(y - 5 + k);
@@ -578,11 +580,11 @@ struct MeanRing {
             }
             _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x),
                              _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a0)));
-            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + stride + x),
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + out_stride + x),
                              _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a1)));
-            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 2 * stride + x),
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 2 * out_stride + x),
                              _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a2)));
-            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 3 * stride + x),
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 3 * out_stride + x),
                              _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(a3)));
         }
 #endif
@@ -590,7 +592,7 @@ struct MeanRing {
             for (int j = 0; j < 4; ++j) {
                 float acc = 0.0f;
                 for (int k = 0; k < 11; ++k) acc += rows[j + k][x] * kGauss11[k];
-                out[j * stride + x] =
+                out[j * out_stride + x] =
                     static_cast<uint8_t>(static_cast<int32_t>(nearbyintf(acc)));
             }
         }

@@ -71,12 +71,15 @@ def test_min_area_rect_batch_vs_cv2():
 @pytest.mark.parametrize('white', [True, False])
 @pytest.mark.parametrize('c_mask,c_marker', [(-5.0, -10.0), (-1.5, -3.5),
                                              (2.0, 4.0), (0.0, 0.0)])
+@pytest.mark.parametrize('w', [203, 208])
 def test_fused_stage2_bit_equals_unfused(rng, mode_id, white, c_mask,
-                                         c_marker):
+                                         c_marker, w):
     """The fused adaptive-mean stage 2 must reproduce the two-pass path
     bit-for-bit: same count, same packed entries in the same (raster)
-    order — including the marker bit and the overflow count semantics."""
-    h, w = 97, 203  # odd sizes exercise the vector tails and border rows
+    order — including the marker bit and the overflow count semantics.
+    w=203 exercises the scalar tail (203 mod 64 = 11 < 16); w=208 lands in
+    the 16-wide remainder block of the h-pass (208 mod 64 = 16)."""
+    h = 97  # odd height exercises the border rows
     for trial in range(4):
         frame = rng.normal(90, 30, (h, w)).clip(0, 255).astype(np.uint8)
         # a few bright blobs so both mask polarities produce foreground
