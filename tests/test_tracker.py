@@ -183,6 +183,10 @@ def test_compact_emissions_device_roundtrip():
                 rng.normal(size=(t_len, s, dims)).astype(np.float32)),
             'info': jnp.asarray(
                 rng.normal(size=(t_len, s, 3)).astype(np.float32)),
+            'det_col': jnp.asarray(
+                rng.integers(-1, 64, (t_len, s), dtype=np.int32)),
+            'n_det': jnp.asarray(
+                rng.integers(0, 99, (t_len,), dtype=np.int32)),
         }
         ncomp = jnp.asarray(rng.integers(0, 99, (t_len,), dtype=np.int32))
         fv = np.ones(t_len, bool)

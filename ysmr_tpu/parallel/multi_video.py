@@ -107,6 +107,9 @@ class _VideoRun:
         self.all_parts = []
         self.overflow_warned = False
         self.flush_every = settings['list save length interval']
+        # per-video readback renumbering into the reference's CPython-set
+        # registration order (pipeline/tracker.ReferenceOrderRenumberer)
+        self.renumberer = trk.ReferenceOrderRenumberer()
         self.old_list, self.list_name = save_list(
             path=path, result_folder=result_folder, first_call=True,
             rename_old_list=settings['rename previous result .csv'],
@@ -156,6 +159,11 @@ class _VideoRun:
                 'Frame(s) of %s with more than %s detections; extra '
                 "components dropped. Raise 'max detections per frame' in "
                 '[TPU SETTINGS].', self.path, max_det)
+        if 'det_col' in emissions_v:
+            emissions_v = dict(emissions_v)
+            emissions_v['ids'] = self.renumberer.observe_batch(
+                emissions_v['mask'], emissions_v['ids'],
+                emissions_v['det_col'], emissions_v['n_det'], valid)
         out = _compact_emissions(emissions_v, start, valid)
         if out is None:
             return
@@ -294,7 +302,8 @@ def _run_group(paths, metas, settings, result_folder, mesh, log):
             if not valid_buf[i].any():
                 continue
             emissions_v = {k: host[k][i] for k in
-                           ('mask', 'ids', 'pos', 'info')}
+                           ('mask', 'ids', 'pos', 'info', 'det_col', 'n_det')
+                           if k in host}
             run.collect(emissions_v, starts[i], valid_buf[i],
                         host['n_components'][i], config.max_det)
 

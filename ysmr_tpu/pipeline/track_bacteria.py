@@ -165,21 +165,37 @@ def _compact_emissions(emissions, batch_start, frame_offset_valid):
 
 
 def _host_rows_from_packed(packed, counts, k, batch_start,
-                           frame_offset_valid):
+                           frame_offset_valid, renumberer=None):
     """Rows from the single-buffer device compaction
     (tracker.compact_emissions_device): the first ``counts[t]`` payload
-    entries of each frame are the live slots in slot order."""
+    entries of each frame are the live slots in slot order. Layout per
+    payload entry: [id, det_col, pos bits x K, info bits x 3]."""
     b = packed.shape[1] - 1
     ids = packed[:, 1:, 0]
-    pos = np.ascontiguousarray(packed[:, 1:, 1:1 + k]).view(np.float32)
-    info = np.ascontiguousarray(packed[:, 1:, 1 + k:4 + k]).view(np.float32)
+    pos = np.ascontiguousarray(packed[:, 1:, 2:2 + k]).view(np.float32)
+    info = np.ascontiguousarray(packed[:, 1:, 2 + k:5 + k]).view(np.float32)
     mask = np.arange(b, dtype=np.int32)[None, :] < counts[:, None]
+    if renumberer is not None:
+        ids = renumberer.observe_batch(mask, ids, packed[:, 1:, 1],
+                                       packed[:, 0, 2], frame_offset_valid)
     return _compact_emissions(
         {'mask': mask, 'ids': ids, 'pos': pos, 'info': info},
         batch_start, frame_offset_valid)
 
 
-def _flight_rows(flight):
+def _renumbered_padded(emissions, frame_valid, renumberer):
+    """Padded emissions dict with ids rewritten to the reference's
+    registration order (no-op when no renumberer is active)."""
+    if renumberer is None or 'det_col' not in emissions:
+        return emissions
+    emissions = dict(emissions)
+    emissions['ids'] = renumberer.observe_batch(
+        emissions['mask'], emissions['ids'], emissions['det_col'],
+        emissions['n_det'], frame_valid)
+    return emissions
+
+
+def _flight_rows(flight, renumberer=None):
     """Finished column arrays of an in-flight batch: host-tracker flights
     already carry them; device flights compact the padded emissions."""
     em = flight[0]
@@ -191,10 +207,16 @@ def _flight_rows(flight):
         if int(counts.max(initial=0)) > packed.shape[1] - 1:
             # bucket overflow (once per upgrade): the padded arrays were
             # kept on device for exactly this batch
-            return _compact_emissions(em['padded'], *flight[1:3])
+            return _compact_emissions(
+                _renumbered_padded(
+                    {k: np.asarray(v) for k, v in em['padded'].items()},
+                    flight[2], renumberer), *flight[1:3])
         return _host_rows_from_packed(packed, counts, em['k'],
-                                      flight[1], flight[2])
-    return _compact_emissions(*flight[:3])
+                                      flight[1], flight[2],
+                                      renumberer=renumberer)
+    return _compact_emissions(
+        _renumbered_padded({k: np.asarray(v) for k, v in em.items()},
+                           flight[2], renumberer), *flight[1:3])
 
 
 def track_bacteria(video_path, settings=None, result_folder=None):
@@ -373,6 +395,21 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     max_slots = settings['max track slots']
     tracker_kwargs = dict(max_disappeared=float(fps_of_file), use_gsff=use_gsff,
                           use_pallas_assign=use_pallas)
+    # dense-scene assignment sharding ([TPU SETTINGS] 'shard dense
+    # assignment across devices', SURVEY.md section 2.2(c)): row-shard the
+    # tracker's slots x detections distance matrix over the device mesh.
+    # Engaged only when a multi-device mesh is visible AND the padded
+    # matrix reaches the threshold — below it the matrix fits one chip and
+    # the collective would be pure overhead.
+    if bool(settings.get('shard dense assignment across devices', False)):
+        n_dev = len(_jax.devices())
+        big_enough = max_slots * config.max_det >= int(
+            settings.get('dense assignment shard threshold', 1 << 21))
+        if n_dev > 1 and big_enough and max_slots % n_dev == 0:
+            from ysmr_tpu.parallel.sharding import make_mesh
+            tracker_kwargs['assign_mesh'] = make_mesh(axis='slots')
+            logger.debug('Dense assignment row-sharded over %d devices',
+                         n_dev)
     if use_gsff:
         params = gsff_ops.GSFFParams(
             fps=fps_of_file,
@@ -407,6 +444,11 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 gsff_params=params if use_gsff else None)
         except RuntimeError:
             native_tracker = None
+    # device-tracker modes rewrite TRACK_IDs at readback into the
+    # reference's CPython-set registration order (ReferenceOrderRenumberer);
+    # the float64 host tracker already registers in that order itself
+    renumberer = None if native_tracker is not None else \
+        trk.ReferenceOrderRenumberer()
 
     import time
     profiler_dir = settings.get('jax profiler dir') or ''
@@ -540,8 +582,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                                   n_comp, None)
 
     def start_async_readback(emissions, n_components):
-        for arr in (emissions['mask'], emissions['ids'], emissions['pos'],
-                    emissions['info'], n_components):
+        for arr in (*emissions.values(), n_components):
             try:
                 arr.copy_to_host_async()
             except AttributeError:
@@ -592,11 +633,15 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             if cmax > em_bucket:
                 em_bucket = min(max_slots, _next_pow2(cmax))
             if cmax > packed.shape[1] - 1:
-                return _compact_emissions(em['padded'], *flight[1:3])
+                return _compact_emissions(
+                    _renumbered_padded(
+                        {k: np.asarray(v) for k, v in em['padded'].items()},
+                        flight[2], renumberer), *flight[1:3])
             return _host_rows_from_packed(packed, counts, em['k'],
-                                          flight[1], flight[2])
+                                          flight[1], flight[2],
+                                          renumberer=renumberer)
         check_overflow(flight[3], flight[2])
-        return _flight_rows(flight)
+        return _flight_rows(flight, renumberer=renumberer)
 
     def check_overflow(n_components, frame_valid):
         nonlocal overflow_warned

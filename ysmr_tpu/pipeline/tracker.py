@@ -27,11 +27,78 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ysmr_tpu.ops import assignment as asg
 from ysmr_tpu.ops import gsff as gsff_ops
 
 INT_MAX = jnp.int32(2 ** 31 - 1)
+
+
+class ReferenceOrderRenumberer:
+    """Rewrites device-tracker TRACK_IDs into the reference's numbering.
+
+    The reference registers unmatched detections by iterating
+    ``set(range(n_det)).difference(used_cols)`` (reference tracker.py:73-91)
+    — the slot order of CPython's small-int hash table, which deviates from
+    ascending once indices wrap the table. The device scan registers the
+    same detections in ascending column order (a fixed, compiler-friendly
+    rule) and additionally emits which detection column each slot consumed
+    (``det_col``) plus the per-frame detection count (``n_det``). This
+    helper replays every frame's registrations through the real CPython set
+    machinery at readback and accumulates an id remap — the renumbered ids
+    are exact by construction, with zero device-side cost beyond the two
+    extra emission columns. Batches must be observed in frame order.
+    """
+
+    def __init__(self):
+        self._remap = np.arange(0, dtype=np.int64)
+        self._seen_max = -1
+
+    def _grow(self, n):
+        if n > self._remap.shape[0]:
+            old = self._remap
+            self._remap = np.arange(max(n, 2 * old.shape[0]), dtype=np.int64)
+            self._remap[:old.shape[0]] = old
+
+    def observe_batch(self, mask, ids, det_col, n_det, frame_valid):
+        """Fold one batch's padded emissions into the remap; returns the
+        remapped ids (same shape as ``ids``, entries under ``mask`` valid).
+        """
+        mask = np.asarray(mask)
+        ids = np.asarray(ids)
+        det_col = np.asarray(det_col)
+        n_det = np.asarray(n_det)
+        live_ids = np.where(mask, ids, -1)
+        self._grow(int(live_ids.max(initial=-1)) + 1)
+        frame_max = live_ids.max(axis=1, initial=-1)
+        # only frames that registered something need the set replay
+        for t in np.nonzero(frame_valid & (frame_max > self._seen_max))[0]:
+            row_live = mask[t]
+            row_ids = ids[t][row_live]
+            row_cols = det_col[t][row_live]
+            # _seen_max moves inside this loop; the nonzero() pre-filter
+            # used its entry value, so re-check per frame
+            fresh = row_ids > self._seen_max
+            if not fresh.any():
+                continue
+            used_cols = set(
+                int(c) for c in row_cols[~fresh] if c >= 0)
+            # the real CPython iteration order the reference registers in
+            order = list(set(range(int(n_det[t]))).difference(used_cols))
+            rank = {d: i for i, d in enumerate(order)}
+            new_ids = np.sort(row_ids[fresh])
+            # ascending device ids correspond to ascending detection columns
+            new_cols = np.sort(row_cols[fresh])
+            base = int(new_ids[0])
+            for j, d in enumerate(new_cols):
+                # rank defaults to j if a column is unexpectedly absent
+                # (capacity drops break reference parity anyway)
+                self._remap[new_ids[j]] = base + rank.get(int(d), j)
+            self._seen_max = int(frame_max[t]) \
+                if frame_max[t] > self._seen_max else self._seen_max
+        out = self._remap[np.clip(ids, 0, self._remap.shape[0] - 1)]
+        return np.where(mask, out, ids).astype(ids.dtype)
 
 
 def init_tracker_state(max_slots, dims=2, use_gsff=False, gsff_params=None):
@@ -52,7 +119,8 @@ def init_tracker_state(max_slots, dims=2, use_gsff=False, gsff_params=None):
 
 def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
                           max_disappeared, use_gsff, gsff_gains, gsff_n_i,
-                          gsff_n_f, gsff_n_i0, use_pallas_assign=False):
+                          gsff_n_f, gsff_n_i0, use_pallas_assign=False,
+                          assign_mesh=None):
     """One frame of CentroidTracker.update semantics over the slot table."""
     active = state['active']
     ids = state['ids']
@@ -71,7 +139,14 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
     sortkey = jnp.where(active, ids, INT_MAX)
     perm = jnp.argsort(sortkey, stable=True)          # row -> slot
     row_valid = active[perm]
-    if use_pallas_assign:
+    if assign_mesh is not None:
+        # dense-scene path: the slots x detections distance matrix is
+        # row-sharded over the mesh; only O(slots) min/argmin summaries
+        # cross the interconnect (parallel/sharding.py)
+        from ysmr_tpu.parallel.sharding import sharded_greedy_assign
+        res = sharded_greedy_assign(assign_mesh, pos[perm], row_valid,
+                                    det_xy, det_valid)
+    elif use_pallas_assign:
         from ysmr_tpu.ops.pallas_assign import row_min_argmin
         row_min, cand_col = row_min_argmin(pos[perm], row_valid, det_xy,
                                            det_valid)
@@ -104,9 +179,12 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
     # in ASCENDING column order. The reference iterates a CPython set here,
     # whose slot order deviates from ascending once unmatched indices wrap
     # the hash table — the float64 host tracker (native/tracker64.cpp,
-    # cpython_set_order) replicates that exactly; this device scan keeps the
-    # deterministic ascending order (a documented id-numbering deviation of
-    # the non-host-rect modes).
+    # cpython_set_order) replicates that exactly. This device scan registers
+    # in deterministic ascending order and EMITS the per-slot detection
+    # column + per-frame detection count, from which the host renumbers the
+    # ids into the reference's order at readback (ReferenceOrderRenumberer —
+    # it runs the real CPython set machinery, so the order is exact by
+    # construction).
     do_register = has_det & (n_det > n_obj)
     unmatched_col = det_valid & ~col_matched & do_register
     col_rank = jnp.cumsum(unmatched_col.astype(jnp.int32)) - 1
@@ -179,16 +257,22 @@ def _tracker_frame_update(state, det_xy, det_info, det_valid, *,
         'ids': jnp.where(active_new, ids_new, 0),
         'pos': emit_pos,
         'info': info_new,
+        # the detection column each live slot consumed this frame (-1 while
+        # coasting) and the frame's detection count: together they let the
+        # host reconstruct the reference's set-difference registration order
+        'det_col': jnp.where(matched, slot_to_col,
+                             jnp.where(reg_slot, reg_col, jnp.int32(-1))),
+        'n_det': n_det,
     }
     return new_state, emission
 
 
 @partial(jax.jit,
          static_argnames=('max_disappeared', 'use_gsff', 'gsff_n_f', 'gsff_n_i0',
-                          'use_pallas_assign'))
+                          'use_pallas_assign', 'assign_mesh'))
 def run_tracker_scan(state, det_xy, det_info, det_valid, *, max_disappeared,
                      use_gsff=False, gsff_gains=None, gsff_n_i=None, gsff_n_f=3,
-                     gsff_n_i0=10, use_pallas_assign=False):
+                     gsff_n_i0=10, use_pallas_assign=False, assign_mesh=None):
     """Scan the tracker over a batch of frames.
 
     :param state: tracker state pytree (carried between batches)
@@ -203,7 +287,7 @@ def run_tracker_scan(state, det_xy, det_info, det_valid, *, max_disappeared,
             st, xy, inf, valid, max_disappeared=max_disappeared,
             use_gsff=use_gsff, gsff_gains=gsff_gains, gsff_n_i=gsff_n_i,
             gsff_n_f=gsff_n_f, gsff_n_i0=gsff_n_i0,
-            use_pallas_assign=use_pallas_assign)
+            use_pallas_assign=use_pallas_assign, assign_mesh=assign_mesh)
 
     return jax.lax.scan(step, state, (det_xy, det_info, det_valid))
 
@@ -239,15 +323,17 @@ def compact_emissions_device(emissions, n_components, *, bucket):
     pos = emissions['pos']
     info = emissions['info']
     k = pos.shape[2]
-    ops = [key, emissions['ids']]
+    ops = [key, emissions['ids'], emissions['det_col']]
     ops += [pos[:, :, i] for i in range(k)]
     ops += [info[:, :, i] for i in range(3)]
     sorted_ops = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
     float_bits = [jax.lax.bitcast_convert_type(o[:, :bucket], jnp.int32)
-                  for o in sorted_ops[2:]]
-    payload = jnp.stack([sorted_ops[1][:, :bucket]] + float_bits,
-                        axis=-1)  # (T, bucket, 1+K+3) int32
-    head = jnp.zeros((t, 1, 4 + k), jnp.int32)
+                  for o in sorted_ops[3:]]
+    payload = jnp.stack([sorted_ops[1][:, :bucket],
+                         sorted_ops[2][:, :bucket]] + float_bits,
+                        axis=-1)  # (T, bucket, 2+K+3) int32
+    head = jnp.zeros((t, 1, 5 + k), jnp.int32)
     head = head.at[:, 0, 0].set(counts)
     head = head.at[:, 0, 1].set(n_components.astype(jnp.int32))
+    head = head.at[:, 0, 2].set(emissions['n_det'])
     return jnp.concatenate([head, payload], axis=1)
