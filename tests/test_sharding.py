@@ -1,5 +1,7 @@
 """Multi-device mesh tests (8 virtual CPU devices via conftest XLA flags)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,79 @@ def test_sharded_greedy_on_two_axis_mesh(rng):
                                     obj_valid, det_xy, det_valid)
     assert np.asarray(got['row_to_col']).tolist() == \
         np.asarray(want['row_to_col']).tolist()
+
+
+@needs_devices
+def test_tracker_scan_sharded_assign_matches(rng):
+    """run_tracker_scan(assign_mesh=...) must emit exactly what the
+    single-device matcher emits — same ids, positions, det columns — on a
+    dense multi-frame stream with appearing/vanishing detections."""
+    from ysmr_tpu.parallel import sharding as shd
+    from ysmr_tpu.pipeline import tracker as trk
+
+    mesh = shd.make_mesh(4, axis='slots')
+    t_len, c, s = 6, 96, 128
+    xy = rng.uniform(0, 800, (t_len, c, 2)).astype(np.float32)
+    # frame-to-frame coherent motion so matching is non-trivial
+    xy[1:] = xy[:1] + np.cumsum(
+        rng.normal(0, 1.0, (t_len - 1, c, 2)), axis=0).astype(np.float32)
+    info = rng.uniform(1, 5, (t_len, c, 3)).astype(np.float32)
+    valid = rng.random((t_len, c)) < 0.8
+    kwargs = dict(max_disappeared=3.0, use_gsff=False)
+
+    s0 = trk.init_tracker_state(s, dims=2)
+    ref_state, ref_em = trk.run_tracker_scan(s0, xy, info, valid, **kwargs)
+    got_state, got_em = trk.run_tracker_scan(s0, xy, info, valid,
+                                             assign_mesh=mesh, **kwargs)
+    for key in ('mask', 'ids', 'det_col', 'n_det'):
+        np.testing.assert_array_equal(np.asarray(ref_em[key]),
+                                      np.asarray(got_em[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(ref_em['pos']),
+                                  np.asarray(got_em['pos']))
+    np.testing.assert_array_equal(np.asarray(ref_state['ids']),
+                                  np.asarray(got_state['ids']))
+
+
+@needs_devices
+@pytest.mark.e2e
+def test_track_bacteria_sharded_assign_e2e(tmp_path):
+    """The '[TPU SETTINGS] shard dense assignment across devices' key must
+    route the pipeline's device tracker through sharded_greedy_assign
+    (threshold forced to 0 here) and produce rows identical to the
+    single-device run."""
+    from tests.test_e2e_parity import _make_settings, make_synthetic_video
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+
+    clip = make_synthetic_video(str(tmp_path / 'dense.avi'), n_frames=32,
+                                w=192, h=144, seed=5, n_bugs=10)
+    base = _make_settings(tmp_path)
+    base.update({
+        'minimal length in seconds': 0.5,
+        'frame batch size': 8,
+        'max detections per frame': 32,
+        'max track slots': 64,
+        'transfer mode': 'pixels',
+        # device tracker (the sharded matcher lives there), not tracker64
+        'cv2 exact rects': False,
+    })
+    ref_dir = str(tmp_path / 'ref')
+    shard_dir = str(tmp_path / 'shard')
+    os.makedirs(ref_dir)
+    os.makedirs(shard_dir)
+    ref = track_bacteria(clip, settings=dict(base), result_folder=ref_dir)
+    assert ref is not None
+    sharded_settings = dict(base)
+    sharded_settings.update({
+        'shard dense assignment across devices': True,
+        'dense assignment shard threshold': 0,
+    })
+    got = track_bacteria(clip, settings=sharded_settings,
+                         result_folder=shard_dir)
+    assert got is not None
+    df_ref, df_got = ref[0], got[0]
+    assert df_got.shape[0] == df_ref.shape[0]
+    for col in ('TRACK_ID', 'POSITION_T'):
+        assert df_got[col].tolist() == df_ref[col].tolist(), col
+    for col in ('POSITION_X', 'POSITION_Y', 'WIDTH', 'HEIGHT',
+                'DEGREES_ANGLE'):
+        np.testing.assert_array_equal(df_got[col], df_ref[col], err_msg=col)

@@ -105,6 +105,16 @@ _TPU_DEFAULTS = {
     # Falls back to solo tracking for mean-threshold mode (sequential host
     # state) and for .csv restarts.
     'shard videos across devices': False,
+    # dense-scene assignment sharding (parallel/sharding.py
+    # sharded_greedy_assign): row-shard the tracker's slots x detections
+    # distance matrix over the device mesh — each device searches its row
+    # block, only O(rows) min/argmin vectors cross the interconnect. Takes
+    # effect when enabled AND more than one device is visible AND
+    # max track slots x max detections per frame reaches the threshold
+    # below (smaller matrices fit one chip; the collective would be pure
+    # overhead). Slot count must divide evenly over the mesh.
+    'shard dense assignment across devices': False,
+    'dense assignment shard threshold': 1 << 21,
 }
 
 
@@ -576,6 +586,10 @@ def get_configs(tracking_ini_filepath=None):
             'use table cc': tpu_bool('use table cc'),
             'shard videos across devices':
                 tpu_bool('shard videos across devices'),
+            'shard dense assignment across devices':
+                tpu_bool('shard dense assignment across devices'),
+            'dense assignment shard threshold':
+                tpu_int('dense assignment shard threshold'),
 
             # Internal
             'tracking_ini_filepath': tracking_ini_filepath,
