@@ -757,6 +757,14 @@ def main():
 
     ref_fps, ref_tracks, ref_list_csv = _reference_baseline(clip)
 
+    # host floor FIRST: it is host-only (~35 s), needs no TPU, and proves
+    # where the e2e ceiling sits — measuring it before any device work
+    # guarantees it is on the record even if the TPU is unreachable for the
+    # whole window (which burned the entire round-2 budget).
+    host_floor = _run_isolated('measure_host_floor', clip, timeout=300)
+    record['host_floor'] = host_floor
+    emit(record)
+
     result_folder = os.path.join(CACHE_DIR, 'our_results')
     os.makedirs(result_folder, exist_ok=True)
     # Every device-touching measurement runs in its own fresh spawn process:
@@ -770,12 +778,9 @@ def main():
                              timeout=600, attempts=3)
     if headline is None:
         # TPU unreachable through every retry window (outages of 30+ min
-        # observed): emit one honest JSON line anyway — the host-only floor
-        # still measures, and a null value beats a crashed bench record.
+        # observed): the record keeps its host-floor evidence and an honest
+        # null headline — far better than a killed bench with no JSON.
         record['error'] = 'tpu unreachable: headline failed all attempts'
-        emit(record)
-        record['host_floor'] = _run_isolated('measure_host_floor', clip,
-                                             timeout=300)
         emit(record)
         return
     ours, ours_tracks, our_df = headline
@@ -800,13 +805,6 @@ def main():
     record['row_parity_detail'] = parity_detail
     emit(record)  # the headline is now on the record, whatever happens next
 
-    # host floor: measured proof that the remaining e2e gap is the host's
-    # serial decode+preproc on ONE core, not the chip (device_only_fps).
-    # Host-only (no jax), but isolated too so its native thread-local
-    # buffers can't interact with the parent. Cheap — run it right after
-    # the headline so efficiency is on the record early.
-    host_floor = _run_isolated('measure_host_floor', clip, timeout=300)
-    record['host_floor'] = host_floor
     record['e2e_host_efficiency'] = \
         round(record['value'] / host_floor['host_floor_fps'], 3) \
         if host_floor else None
