@@ -113,53 +113,58 @@ def get_loggers(log_level=logging.DEBUG, logfile_name='./logfile.log',
 
 def logging_configurer(settings):
     """Attach a QueueHandler for the multiprocess logging queue."""
-    root = logging.getLogger('ysmr')
-    if not len(root.handlers):
-        handler = logging.handlers.QueueHandler(settings['logging_queue'])
-        root.addHandler(handler)
-        root.setLevel(settings['log_level'])
+    log = logging.getLogger('ysmr')
+    if log.handlers:
+        return
+    log.addHandler(logging.handlers.QueueHandler(settings['logging_queue']))
+    log.setLevel(settings['log_level'])
 
 
 def logging_listener_configurer(settings):
     """Configure real handlers inside the listener process."""
-    root = logging.getLogger('ysmr')
-    root.propagate = False
-    long_format, short_format = log_formats()
-    long_formatter = logging.Formatter(long_format, style='{')
-    short_formatter = logging.Formatter(short_format, style='{')
-    stream_handler = logging.StreamHandler(sys.stdout)
-    stream_handler.setFormatter(
-        short_formatter if settings['shorten logfile logging output'] else long_formatter)
-    stream_handler.setLevel(settings['log_level'])
-    root.addHandler(stream_handler)
+    log = logging.getLogger('ysmr')
+    log.propagate = False
+    long_fmt, short_fmt = log_formats()
+    sinks = [(logging.StreamHandler(sys.stdout),
+              settings['shorten logfile logging output'])]
     if settings['log to file']:
-        file_handler = logging.FileHandler(filename=settings['log file path'], mode='a')
-        file_handler.setFormatter(
-            short_formatter if settings['shorten displayed logging output'] else long_formatter)
-        file_handler.setLevel(settings['log_level'])
-        root.addHandler(file_handler)
+        sinks.append((logging.FileHandler(settings['log file path'], mode='a'),
+                      settings['shorten displayed logging output']))
+    for handler, short in sinks:
+        handler.setFormatter(logging.Formatter(
+            short_fmt if short else long_fmt, style='{'))
+        handler.setLevel(settings['log_level'])
+        log.addHandler(handler)
 
 
 def logging_listener(settings):
     """Consume log records from the multiprocess queue; stop on None sentinel."""
-    queue = settings['logging_queue']
+    record_queue = settings['logging_queue']
     logging_listener_configurer(settings)
     while True:
         try:
-            record = queue.get()
-            if record is None:
-                break
+            record = record_queue.get()
+        except Exception:
+            _report_listener_failure(settings)
+            break
+        if record is None:
+            break
+        try:
             logging.getLogger(record.name).handle(record)
         except Exception:
-            import traceback
-            print('Problem:', file=sys.stderr)
-            traceback.print_exc(file=sys.stderr)
-            try:
-                with open(file=settings['log file path'], mode='w+') as file:
-                    traceback.print_exc(file=file)
-            except (FileNotFoundError, PermissionError):
-                pass
+            _report_listener_failure(settings)
             break
+
+
+def _report_listener_failure(settings):
+    import traceback
+    print('Logging listener failed:', file=sys.stderr)
+    traceback.print_exc(file=sys.stderr)
+    try:
+        with open(settings['log file path'], 'w+') as sink:
+            traceback.print_exc(file=sink)
+    except (FileNotFoundError, PermissionError):
+        pass
 
 
 def stop_logging_queue(logger=None, settings=None):
