@@ -141,6 +141,12 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=5):
     res = track_bacteria(warmup_clip, settings=warm, result_folder=result_folder)
     assert res is not None, 'warmup run failed'
     settings = bench_settings(extra)
+    # one untimed full-clip pass: the short warmup clip compiles the
+    # programs but leaves the tunnel/worker cold at full load — the first
+    # full-clip run consistently measures ~60% of steady state (115 vs
+    # 180 fps observed), which is warm-up, not throughput
+    res = track_bacteria(clip, settings=settings, result_folder=result_folder)
+    assert res is not None, 'full-clip warmup failed'
     runs = []
     n_tracks = None
     df = None

@@ -16,6 +16,7 @@ work for batch N+1 overlaps host writing of batch N.
 
 import logging
 import os
+import threading
 from functools import partial
 
 import numpy as np
@@ -522,6 +523,19 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             det_px_dev.copy_to_host_async()
         except AttributeError:
             pass
+        # materialize the fetch on a helper thread: the ~17 ms/batch tunnel
+        # RPC is pure IO wait (the GIL is released inside the transfer), so
+        # pushing it off the consumer thread lets the decode thread fill
+        # that window — copy_to_host_async alone measured ~0.26 ms/frame of
+        # residual blocking at consume time (the in-pipeline fetch is not
+        # free even after the async copy; CLAUDE.md session 4)
+        fetch = {'arr': None}
+
+        def _fetch():
+            fetch['arr'] = np.asarray(det_px_dev)
+
+        fetch_thread = threading.Thread(target=_fetch, daemon=True)
+        fetch_thread.start()
         gray_dev = None
         if config.include_luminosity:
             # stage the gray planes for the rect-luminosity pass that runs
@@ -529,7 +543,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             gray_dev = _jax.device_put(np.ascontiguousarray(data['gray']))
         return {'det_px': det_px_dev, 'packed': packed_np,
                 'counts': counts_np, 'start': start, 'frame_valid': fv,
-                'gray_dev': gray_dev}
+                'gray_dev': gray_dev, 'fetch': fetch,
+                'fetch_thread': fetch_thread}
 
     def run_host_rect_tracker(pending):
         """cv2-bit-exact rects on the host for a read-back batch, then the
@@ -537,7 +552,10 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         for the delayed emissions readback."""
         nonlocal state, trk_d
         t_a = time.perf_counter()
-        fused = np.asarray(pending['det_px'])
+        pending['fetch_thread'].join()
+        fused = pending['fetch']['arr']
+        if fused is None:  # fetch thread died; fall back to a direct fetch
+            fused = np.asarray(pending['det_px'])
         det_px = fused[:, :-1]
         n_comp = fused[:, -1].astype(np.int32)
         fv = pending['frame_valid']
