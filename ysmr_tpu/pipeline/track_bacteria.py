@@ -257,8 +257,13 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     if display is not None:
         batch_size = min(batch_size, 16)  # bound preview latency and memory
     elif transfer_mode == 'pixels' and batch_size < 64 and \
-            _jax_mod.default_backend() != 'cpu':
-        batch_size = 64  # amortise link latency; pixel tables are small
+            _jax_mod.default_backend() != 'cpu' and \
+            settings['max detections per frame'] <= 1024:
+        # amortise link latency; pixel tables are small. Dense capacities
+        # are exempt: there the per-batch device work dwarfs the link
+        # latency while the batch-64 program's XLA compile is pathological
+        # on the tunnelled worker (>10 min observed at 4096x8192 shapes)
+        batch_size = 64
     logger.debug('Transfer mode: %s, batch size: %s', transfer_mode, batch_size)
 
     frame_count = probe_reader.frame_count
