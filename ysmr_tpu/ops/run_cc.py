@@ -176,7 +176,7 @@ def chain_mask(geo, win):
 
 
 @partial(jax.jit, static_argnames=('max_iters', 'check_every'))
-def propagate_min(init, win, link, *, max_iters=64, check_every=4):
+def propagate_min(init, win, link, *, max_iters=64, check_every=2):
     """Min-label fixpoint over the run graph.
 
     Labels are per-frame run indices, possibly offset by +R to encode a
@@ -184,13 +184,19 @@ def propagate_min(init, win, link, *, max_iters=64, check_every=4):
     ``label mod R``, which is always a run index inside the same component.
 
     Each step relaxes one hop along the same-row chain edges (two shifted
-    mins), takes the four adjacent-row window endpoints (one flat gather),
-    and path-halves (one flat gather). At (T, R) table sizes every XLA op
-    is launch-overhead-bound on the TPU, so the cheap constant-op step
-    beats per-step segmented chain scans (log-width associative scans were
-    ~5x the per-step cost) even though one-hop relaxation needs a few more
-    steps; path halving keeps the total logarithmic in the component's
-    run-graph diameter.
+    mins), takes the four adjacent-row window endpoints (one flat gather
+    with step-invariant indices), and path-halves (one flat gather). At
+    (T, R) table sizes every XLA op is launch-overhead-bound on this chip,
+    so the cheap constant-op step beats per-step segmented chain scans
+    (log-width associative scans were ~5x the per-step cost); path halving
+    keeps the total logarithmic in the component's run-graph diameter.
+    Batching both gathers into ONE five-plane gather (Jacobi form) was
+    TRIED and is ~40% slower — the concatenation with the dynamic
+    path-halving indices defeats XLA's specialization of the
+    static-index window gather. Convergence on bacteria-scale blobs lands
+    in ~5 steps, so ``check_every`` defaults low: wasted post-convergence
+    steps cost more than the extra convergence checks (measured 54 vs 64
+    vs 102 ms/batch for check_every 2/4/8 on the bench clip).
 
     :param init: (T, R) int32 initial labels
     :param win: run_windows output
@@ -254,7 +260,7 @@ def _prepare(px_runs, run_counts, *, w):
 @partial(jax.jit, static_argnames=('w', 'connectivity', 'max_iters',
                                    'check_every'))
 def label_runs(px_runs, run_counts, *, w, connectivity=8, max_iters=64,
-               check_every=4):
+               check_every=2):
     """Connected-component root (min run index) per run; invalid = self."""
     geo = _prepare(px_runs, run_counts, w=w)
     win = run_windows(geo, dilate=1 if connectivity == 8 else 0)
@@ -268,7 +274,7 @@ def label_runs(px_runs, run_counts, *, w, connectivity=8, max_iters=64,
 @partial(jax.jit, static_argnames=('w', 'double_threshold', 'max_iters',
                                    'check_every'))
 def run_cc_components(px_runs, run_counts, *, w, double_threshold,
-                      max_iters=64, check_every=4):
+                      max_iters=64, check_every=2):
     """Full detect labeling on run tables: reconstruction + 8-conn CC.
 
     Pipeline (all on (T, R) tables): optional marker reconstruction
@@ -453,7 +459,7 @@ def det_px_from_runs(px_runs, run_counts, comp_rev_run, *, f, max_det):
 
 
 @partial(jax.jit, static_argnames=('w', 'max_iters', 'check_every'))
-def keep_marked_runs(px_runs, run_counts, *, w, max_iters=64, check_every=4):
+def keep_marked_runs(px_runs, run_counts, *, w, max_iters=64, check_every=2):
     """Marker reconstruction on runs (binary_propagation semantics).
 
     A run survives iff its 4-connected mask component contains at least
