@@ -506,6 +506,15 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     # upgraded once to max_det if a frame ever exceeds it).
     pending_det = None
     trk_d = min(config.max_det, 128)
+    # pipelined host-rect tail: with the float64 host tracker active the
+    # rects+tracker work has no device dependency, so it runs on worker
+    # threads chained in batch order (YSMR_RECT_WORKER=0 opts back into the
+    # inline tail)
+    rect_worker_enabled = (
+        use_host_rects and native_tracker is not None and
+        not config.include_luminosity and
+        os.environ.get('YSMR_RECT_WORKER', '1') != '0')
+    prev_rect_worker = {'thread': None}
 
     def stage_host_rect_detect(tables, data, count, start, fv):
         """Queue a detected batch for the host rect stage: slice det_px_idx
@@ -546,10 +555,45 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             # stage the gray planes for the rect-luminosity pass that runs
             # at tracker time against the HOST rects (_det_xy_with_rect_lum)
             gray_dev = _jax.device_put(np.ascontiguousarray(data['gray']))
-        return {'det_px': det_px_dev, 'packed': packed_np,
-                'counts': counts_np, 'start': start, 'frame_valid': fv,
-                'gray_dev': gray_dev, 'fetch': fetch,
-                'fetch_thread': fetch_thread}
+        pending = {'det_px': det_px_dev, 'packed': packed_np,
+                   'counts': counts_np, 'start': start, 'frame_valid': fv,
+                   'gray_dev': gray_dev, 'fetch': fetch,
+                   'fetch_thread': fetch_thread}
+        if rect_worker_enabled:
+            # run the whole rects -> float64-tracker tail on a worker
+            # thread chained to the previous batch's worker (the tracker is
+            # sequential): its native sections release the GIL and timeshare
+            # with decode instead of serializing in the consumer loop
+            result = {}
+            prev = prev_rect_worker['thread']
+
+            def _work():
+                if prev is not None:
+                    prev.join()
+                try:
+                    result['flight'] = run_host_rect_tracker(pending)
+                except BaseException as exc:  # re-raised at consume time
+                    result['error'] = exc
+
+            worker = threading.Thread(target=_work, daemon=True)
+            pending['worker'] = worker
+            pending['result'] = result
+            prev_rect_worker['thread'] = worker
+            worker.start()
+        return pending
+
+    def finish_host_rect(pending):
+        """Flight tuple for a staged batch: join its worker when the
+        pipelined tail is active, else run the tail inline."""
+        worker = pending.get('worker')
+        if worker is None:
+            return run_host_rect_tracker(pending)
+        t0 = time.perf_counter()
+        worker.join()
+        stage_t['det_readback'] += time.perf_counter() - t0
+        if 'error' in pending['result']:
+            raise pending['result']['error']
+        return pending['result']['flight']
 
     def run_host_rect_tracker(pending):
         """cv2-bit-exact rects on the host for a read-back batch, then the
@@ -763,7 +807,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     tables, data, count, batch['start'], frame_valid)
                 new_flight = None
                 if pending_det is not None:
-                    new_flight = run_host_rect_tracker(pending_det)
+                    new_flight = finish_host_rect(pending_det)
                 pending_det = pending_next
             else:
                 state, emissions = trk.run_tracker_scan(
@@ -823,7 +867,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                 if all_parts is not None:
                     all_parts.append(out)
                 pending_rows += len(out['TRACK_ID'])
-        in_flight = run_host_rect_tracker(pending_det)
+        in_flight = finish_host_rect(pending_det)
     if in_flight is not None and not error_during_read:
         if maybe_display(in_flight):
             logger.error('Processing file interrupted by user: %s', video_path)
