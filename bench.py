@@ -840,11 +840,30 @@ def main():
     emit(record)
 
     # dense-scene stretch (BASELINE config 5, synthetic device-only) last:
-    # its fresh 16k-shape compiles are the most crash-prone phase
-    dense = _run_isolated('measure_dense')
+    # its 16k-shape program takes >20 min of (asynchronous, uncacheable —
+    # the current axon worker silently fails persistent-cache writes)
+    # server-side compilation, so a fresh process usually cannot measure it
+    # inside the window. A successful measurement is cached on disk; when
+    # the live attempt fails, the record carries the cached value clearly
+    # labeled as such with its timestamp.
+    dense = _run_isolated('measure_dense', timeout=600, attempts=1)
     dense_objects, dense_fps = dense if dense else (None, None)
     record['dense_scene_objects_per_frame'] = dense_objects
     record['dense_scene_fps'] = dense_fps
+    dense_cache = os.path.join(CACHE_DIR, 'dense_scene_cached.json')
+    if dense is not None:
+        json.dump({'objects_per_frame': dense_objects, 'fps': dense_fps,
+                   'measured_at': time.strftime('%Y-%m-%d %H:%M UTC',
+                                                time.gmtime())},
+                  open(dense_cache, 'w'))
+    else:
+        for path in (dense_cache,
+                     os.path.join(BENCH_DATA, 'dense_scene_cached.json')):
+            try:
+                record['dense_scene_cached'] = json.load(open(path))
+                break
+            except Exception:
+                pass
     emit(record)
 
 
