@@ -136,6 +136,27 @@ def resolve_transfer_mode(settings, frame_bytes):
     return 'pixels' if bandwidth < 60 * frame_bytes else 'frames'
 
 
+def resolve_batch_size(settings, transfer_mode, backend, has_display):
+    """Per-run frame batch size.
+
+    Display mode bounds preview latency. Pixels mode on an accelerator
+    rounds small batches up to 64 — the pixel tables are tiny and the
+    bigger batch amortises the link's per-dispatch latency (measured
+    64 > 128 > 256; CLAUDE.md) — EXCEPT at dense capacities
+    (max detections per frame > 1024): there the per-batch device work
+    dwarfs the link latency while the batch-64 program's XLA compile is
+    pathological on the tunnelled worker (>20 min at 4096x8192 shapes vs
+    ~3 min for the same pipeline at batch 16).
+    """
+    batch_size = settings['frame batch size']
+    if has_display:
+        return min(batch_size, 16)
+    if transfer_mode == 'pixels' and batch_size < 64 and backend != 'cpu' \
+            and settings['max detections per frame'] <= 1024:
+        return 64
+    return batch_size
+
+
 def _compact_emissions(emissions, batch_start, frame_offset_valid):
     """(T, S) padded emissions -> column arrays sorted by (frame, id)."""
     mask = np.asarray(emissions['mask'])
@@ -252,18 +273,10 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                               probe_reader.width)
         if not display.enabled:
             display = None  # headless: warned already, run normally
-    batch_size = settings['frame batch size']
     import jax as _jax_mod
-    if display is not None:
-        batch_size = min(batch_size, 16)  # bound preview latency and memory
-    elif transfer_mode == 'pixels' and batch_size < 64 and \
-            _jax_mod.default_backend() != 'cpu' and \
-            settings['max detections per frame'] <= 1024:
-        # amortise link latency; pixel tables are small. Dense capacities
-        # are exempt: there the per-batch device work dwarfs the link
-        # latency while the batch-64 program's XLA compile is pathological
-        # on the tunnelled worker (>10 min observed at 4096x8192 shapes)
-        batch_size = 64
+    batch_size = resolve_batch_size(settings, transfer_mode,
+                                    _jax_mod.default_backend(),
+                                    display is not None)
     logger.debug('Transfer mode: %s, batch size: %s', transfer_mode, batch_size)
 
     frame_count = probe_reader.frame_count
