@@ -185,3 +185,42 @@ def test_stream_actually_permutes_order():
                 deviated = True
         prev_ids = set(objects)
     assert deviated, 'stream never permuted the registration order'
+
+
+def test_renumberer_survives_capacity_drops():
+    """With fewer slots than objects, registrations are dropped (ids get
+    gaps); the renumberer must stay consistent — no crashes, no id
+    collisions, monotone per-frame id blocks."""
+    from ysmr_tpu.pipeline import tracker as trk
+    from ysmr_tpu.pipeline.track_bacteria import _flight_rows
+
+    rng = np.random.default_rng(7)
+    frames = _burst_stream(rng, n_frames=30, max_det=24, n_base=16)
+    state = trk.init_tracker_state(12, dims=2)  # fewer slots than objects
+    renum = trk.ReferenceOrderRenumberer()
+    seen = {}
+    max_det = frames[0][0].shape[0]
+    for start in range(0, len(frames), 8):
+        chunk = frames[start:start + 8]
+        t_len = len(chunk)
+        xy = np.zeros((t_len, max_det, 2), np.float32)
+        info = np.zeros((t_len, max_det, 3), np.float32)
+        valid = np.zeros((t_len, max_det), bool)
+        for t, (rects, v) in enumerate(chunk):
+            xy[t] = rects[:, :2]
+            info[t] = rects[:, 2:5]
+            valid[t] = v
+        state, em = trk.run_tracker_scan(state, xy, info, valid,
+                                         max_disappeared=3.0, use_gsff=False)
+        rows = _flight_rows(
+            (em, start, np.ones(t_len, bool),
+             np.asarray(valid.sum(1), np.int32), None), renumberer=renum)
+        if rows is None:
+            continue
+        for i in range(len(rows['TRACK_ID'])):
+            key = (int(rows['POSITION_T'][i]), int(rows['TRACK_ID'][i]))
+            # one row per (frame, id): renumbering must stay a bijection
+            assert key not in seen, key
+            seen[key] = True
+    assert int(np.asarray(state['dropped_registrations'])) > 0, \
+        'stream never dropped a registration; the test exercises nothing'
