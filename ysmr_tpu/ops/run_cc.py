@@ -257,24 +257,39 @@ def _prepare(px_runs, run_counts, *, w):
     return geo
 
 
+def _make_prop(use_pallas, interpret, check_every):
+    """Pick the propagation backend: XLA loop or the fused Pallas kernel.
+
+    The fused kernel (ops/pallas_run_prop.py) runs the whole fixpoint in
+    one launch with the tables in VMEM — the XLA loop's per-step table ops
+    are launch-overhead-bound on this chip (~7 ms vs ~0.1 ms per batch
+    pass, chained-timing A/B 2026-08-20).
+    """
+    if not use_pallas:
+        return partial(propagate_min, check_every=check_every)
+    from ysmr_tpu.ops.pallas_run_prop import propagate_min_fused
+    return partial(propagate_min_fused, interpret=interpret)
+
+
 @partial(jax.jit, static_argnames=('w', 'connectivity', 'max_iters',
-                                   'check_every'))
+                                   'check_every', 'use_pallas', 'interpret'))
 def label_runs(px_runs, run_counts, *, w, connectivity=8, max_iters=64,
-               check_every=2):
+               check_every=2, use_pallas=False, interpret=False):
     """Connected-component root (min run index) per run; invalid = self."""
     geo = _prepare(px_runs, run_counts, w=w)
     win = run_windows(geo, dilate=1 if connectivity == 8 else 0)
     link = chain_mask(geo, win)
     t, r = geo['rows'].shape
     iota = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], (t, r))
-    return propagate_min(iota, win, link, max_iters=max_iters,
-                         check_every=check_every)
+    prop = _make_prop(use_pallas, interpret, check_every)
+    return prop(iota, win, link, max_iters=max_iters)
 
 
 @partial(jax.jit, static_argnames=('w', 'double_threshold', 'max_iters',
-                                   'check_every'))
+                                   'check_every', 'use_pallas', 'interpret'))
 def run_cc_components(px_runs, run_counts, *, w, double_threshold,
-                      max_iters=64, check_every=2):
+                      max_iters=64, check_every=2, use_pallas=False,
+                      interpret=False):
     """Full detect labeling on run tables: reconstruction + 8-conn CC.
 
     Pipeline (all on (T, R) tables): optional marker reconstruction
@@ -297,6 +312,7 @@ def run_cc_components(px_runs, run_counts, *, w, double_threshold,
     t, r = geo['rows'].shape
     iota = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], (t, r))
     t_off = jnp.arange(t, dtype=jnp.int32)[:, None] * r
+    prop = _make_prop(use_pallas, interpret, check_every)
     if double_threshold:
         # both connectivities' windows in ONE sort-merge pair; the 8-conn
         # windows are remapped onto the compacted table below instead of
@@ -304,8 +320,7 @@ def run_cc_components(px_runs, run_counts, *, w, double_threshold,
         win4, win8o = run_windows_multi(geo, dilates=(0, 1))
         link4 = chain_mask(geo, win4)
         init = jnp.where(geo['rmark'], iota, iota + r)
-        lab4 = propagate_min(init, win4, link4, max_iters=max_iters,
-                             check_every=check_every)
+        lab4 = prop(init, win4, link4, max_iters=max_iters)
         keep = geo['valid'] & (lab4 < r)
 
         # stable compaction: surviving runs first, raster order preserved
@@ -354,8 +369,7 @@ def run_cc_components(px_runs, run_counts, *, w, double_threshold,
         geo8 = dict(geo)
         win8 = run_windows(geo8, dilate=1)
     link8 = chain_mask(geo8, win8)
-    lab8 = propagate_min(iota, win8, link8, max_iters=max_iters,
-                         check_every=check_every)
+    lab8 = prop(iota, win8, link8, max_iters=max_iters)
 
     # component ids: ascending rank of roots in raster order (root = run of
     # minimum index = the component's topmost-leftmost run)
@@ -458,8 +472,10 @@ def det_px_from_runs(px_runs, run_counts, comp_rev_run, *, f, max_det):
     return jnp.where(active & (g >= 0) & (g < max_det), g, -1)
 
 
-@partial(jax.jit, static_argnames=('w', 'max_iters', 'check_every'))
-def keep_marked_runs(px_runs, run_counts, *, w, max_iters=64, check_every=2):
+@partial(jax.jit, static_argnames=('w', 'max_iters', 'check_every',
+                                   'use_pallas', 'interpret'))
+def keep_marked_runs(px_runs, run_counts, *, w, max_iters=64, check_every=2,
+                     use_pallas=False, interpret=False):
     """Marker reconstruction on runs (binary_propagation semantics).
 
     A run survives iff its 4-connected mask component contains at least
@@ -474,6 +490,6 @@ def keep_marked_runs(px_runs, run_counts, *, w, max_iters=64, check_every=2):
     t, r = geo['rows'].shape
     iota = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], (t, r))
     init = jnp.where(geo['rmark'], iota, iota + r)
-    lab = propagate_min(init, win, link, max_iters=max_iters,
-                        check_every=check_every)
+    prop = _make_prop(use_pallas, interpret, check_every)
+    lab = prop(init, win, link, max_iters=max_iters)
     return geo['valid'] & (lab < r)

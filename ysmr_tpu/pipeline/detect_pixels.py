@@ -93,7 +93,8 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         rc_eff = jnp.where(frame_valid, run_counts.astype(jnp.int32), 0)
         cc_out = rcc.run_cc_components(px_runs, rc_eff, w=w,
                                        double_threshold=double_threshold,
-                                       max_iters=cc_iters)
+                                       max_iters=cc_iters,
+                                       use_pallas=use_pallas)
         n_components = cc_out['n_components']
         det_px = None
         if return_det_px:
