@@ -518,7 +518,7 @@ def measure_dense_e2e(reps=3):
         'max track slots': 8192,
         'max bounding box height': 48,
         'max foreground pixels per frame': 131072,
-        'frame batch size': 16,
+        'frame batch size': 64,
     })
     res = track_bacteria(dense_clip, settings=settings,
                          result_folder=folder)  # compile warmup, untimed

@@ -437,14 +437,33 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
         row_max_x = row_max_x[:max_det * max_bh].reshape(max_det, max_bh)
         row_valid = row_min_x < big
         min_y = min_y[:max_det]
+    out = _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y,
+                                  max_det=max_det, max_bh=max_bh,
+                                  use_pallas_hull=use_pallas_hull,
+                                  count=(count_exact if (gray_vals is not None
+                                         and lum_from_sorted) else None))
+    if gray_vals is not None:
+        if lum_from_sorted:
+            out['lum_sum'] = lum_sum
+        else:
+            out['count'] = jax.ops.segment_sum(
+                ones, seg, num_segments=nseg)[:max_det]
+            lum = jnp.where(ones > 0, gray_vals, 0)
+            out['lum_sum'] = jax.ops.segment_sum(
+                lum, seg, num_segments=nseg)[:max_det]
+    return out
+
+
+def _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y, *,
+                            max_det, max_bh, use_pallas_hull, count=None):
+    """Row-extreme tables -> the component_stats output dict (shared by the
+    pixel-table paths and the run-table fast path)."""
+    big = jnp.int32(1 << 30)
     abs_y = (min_y[:, None] + jnp.arange(max_bh, dtype=jnp.int32)[None, :])
     min_x = jnp.min(jnp.where(row_valid, row_min_x, big), axis=1)
     max_x = jnp.max(jnp.where(row_valid, row_max_x, -big), axis=1)
     max_y = jnp.max(jnp.where(row_valid, abs_y, -big), axis=1)
-    if gray_vals is not None:
-        count = count_exact if lum_from_sorted else \
-            jax.ops.segment_sum(ones, seg, num_segments=nseg)[:max_det]
-    else:
+    if count is None:
         count = jnp.sum(jnp.where(row_valid, row_max_x - row_min_x + 1, 0),
                         axis=1)
     pts_x = jnp.concatenate([row_min_x, row_max_x], axis=1).astype(jnp.float32)
@@ -460,7 +479,7 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
     edge_dx, edge_dy, edge_angles, edge_valid = _hull_edge_data(
         row_min_x, row_max_x, row_valid, abs_y, use_pallas=use_pallas_hull)
 
-    out = {
+    return {
         'count': count[:max_det],
         'min_x': min_x[:max_det], 'max_x': max_x[:max_det],
         'min_y': min_y[:max_det], 'max_y': max_y[:max_det],
@@ -468,14 +487,72 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
         'edge_dx': edge_dx, 'edge_dy': edge_dy,
         'edge_angles': edge_angles, 'edge_valid': edge_valid,
     }
-    if gray_vals is not None:
-        if lum_from_sorted:
-            out['lum_sum'] = lum_sum
-        else:
-            lum = jnp.where(ones > 0, gray_vals, 0)
-            out['lum_sum'] = jax.ops.segment_sum(
-                lum, seg, num_segments=nseg)[:max_det]
-    return out
+
+
+def component_stats_runs(s_start, s_len, s_comp, *, w, h, max_det, max_bh,
+                         use_pallas_hull=False):
+    """component_stats straight from COMPONENT-SORTED run tables (1 frame).
+
+    The run-graph CC path (ops/run_cc.py) already holds every kept
+    component as contiguous runs ordered by (component, linear index).
+    Each wire run lives inside one image row with x spanning
+    ``[start % w, start % w + len - 1]``, so the per-(component, bbox-row)
+    x extremes are plain min/max COMBINER scatters over the (R,) run
+    table — no pixel expansion and no F-length scans at all. This exists
+    for two reasons (both measured on the axon TPU, 2026-08-20):
+
+    - XLA:TPU compile time: the previous path expanded runs to (T, F)
+      pixel tables and built row tables with segmented associative scans;
+      ONE vmapped scan at (16, 131072) took ~211 s to compile server-side
+      and the batch-64 dense program never finished (>20 min). The
+      combiner scatters compile in ~2 s (T=16) / ~13 s (T=64).
+    - Runtime: drops the run->pixel expansion (scatter + int cumsum over
+      (T, F)) and three suffix scans from the detect hot path.
+
+    Bit-identical to the pixel-table path (pixels of a row covered by its
+    runs' intervals); equality is fuzzed in tests/test_detect_pixels.py.
+
+    :param s_start, s_len: (R,) int32 component-sorted run geometry
+        (len 0 = padding)
+    :param s_comp: (R,) int32 component id per run (any fixed id order;
+        ids must be contiguous in the table order — run_cc's tables are)
+    :return: component_stats output dict (no luminosity fields)
+    """
+    r = s_start.shape[0]
+    valid = s_len > 0
+    rows = s_start // w
+    x0 = s_start % w
+    x1 = x0 + s_len - 1
+    iota = jnp.arange(r, dtype=jnp.int32)
+    prev_comp = jnp.roll(s_comp, 1)
+    prev_valid = jnp.roll(valid, 1)
+    comp_start = valid & ((iota == 0) | (s_comp != prev_comp) |
+                          (~prev_valid))
+    # per-run component min-y (= the row of the component's FIRST run —
+    # runs are lin-sorted within a component): ordinal-encoded cummax
+    # fill-forward, the same trick as the sorted pixel path but at run
+    # (not pixel) length
+    ybits = max(int(h) - 1, 1).bit_length()
+    cnum = jnp.cumsum(comp_start.astype(jnp.int32))
+    enc = jnp.where(comp_start, cnum * (1 << ybits) + rows, -1)
+    y0 = jax.lax.cummax(enc) & ((1 << ybits) - 1)
+    rel_y = jnp.clip(rows - y0, 0, max_bh - 1)
+    nrow = max_det * max_bh + 1
+    oob = jnp.int32(nrow) + iota
+    ok = valid & (s_comp >= 0) & (s_comp < max_det)
+    idx = jnp.where(ok, s_comp * max_bh + rel_y, oob)
+    big = jnp.int32(1 << 30)
+    row_min_x = jnp.full((nrow,), big, jnp.int32).at[idx].min(
+        x0, mode='drop')[:max_det * max_bh].reshape(max_det, max_bh)
+    row_max_x = jnp.full((nrow,), -big, jnp.int32).at[idx].max(
+        x1, mode='drop')[:max_det * max_bh].reshape(max_det, max_bh)
+    y_tab = jnp.full((nrow,), big, jnp.int32).at[idx].min(
+        rows, mode='drop')[:max_det * max_bh].reshape(max_det, max_bh)
+    row_valid = row_min_x < big
+    min_y = jnp.where(row_valid[:, 0], y_tab[:, 0], big)
+    return _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y,
+                                   max_det=max_det, max_bh=max_bh,
+                                   use_pallas_hull=use_pallas_hull)
 
 
 @partial(jax.jit, static_argnames=('max_det', 'max_bh', 'use_pallas_hull'))

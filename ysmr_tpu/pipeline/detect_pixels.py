@@ -113,18 +113,18 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             if return_det_px:
                 out['det_px_idx'] = det_px.astype(jnp.int16)
             return out
+        # stats/rect tables straight from the component-sorted RUN tables —
+        # no run->pixel expansion and no F-length scans on the hot path
+        # (and none of their XLA:TPU compile-time pathology at dense
+        # capacities; see labeling.component_stats_runs)
         comp_rev_s = jnp.where(
             cc_out['s_comp'] >= 0,
             n_components[:, None] - 1 - cc_out['s_comp'], -1)
-        px_x, px_y, seg, keep = rcc.expand_sorted_runs(
+        return _stats_outputs_runs(
             cc_out['s_start'], cc_out['s_len'], comp_rev_s,
-            f=f, w=w, max_det=max_det)
-        return _stats_outputs(
-            seg, keep, px_x, px_y, jnp.zeros_like(px_x), None,
             n_components, det_px,
             h=h, w=w, max_det=max_det, max_bh=max_bh,
-            include_luminosity=False, exact_lum=False, lum_win=lum_win,
-            use_pallas=use_pallas, stats_sorted=True)
+            use_pallas=use_pallas)
     if px_runs is not None:
         # expand the run wire to the (T, F) pixel table. The linear index
         # needs NO per-pixel gather: within a run lin increments by one,
@@ -429,6 +429,37 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         h=h, w=w, max_det=max_det, max_bh=max_bh,
         include_luminosity=include_luminosity, exact_lum=exact_lum,
         lum_win=lum_win, use_pallas=use_pallas, stats_sorted=stats_sorted)
+
+
+def _stats_outputs_runs(s_start, s_len, s_comp, n_components, det_px, *,
+                        h, w, max_det, max_bh, use_pallas):
+    """Detect tail over component-sorted run tables (no luminosity).
+
+    Same output contract as _stats_outputs; consumes (T, R) run geometry
+    directly (labeling.component_stats_runs).
+    """
+    def per_frame(ss, sl, sc):
+        tables = lb.component_stats_runs(
+            ss, sl, sc, w=w, h=h, max_det=max_det, max_bh=max_bh,
+            use_pallas_hull=use_pallas)
+        rect = lb.min_area_rect(tables['points'], tables['points_valid'],
+                                edge_angles=tables['edge_angles'],
+                                edge_valid=tables['edge_valid'],
+                                edge_dx=tables['edge_dx'],
+                                edge_dy=tables['edge_dy'],
+                                use_pallas_sweep=use_pallas)
+        return rect, tables['count'] > 0
+
+    rect, det_valid = jax.vmap(per_frame)(s_start, s_len, s_comp)
+    det_xy = jnp.stack([rect['cx'], rect['cy']], axis=-1)
+    det_info = jnp.stack([rect['w'], rect['h'], rect['angle_deg']], axis=-1)
+    det_xy = jnp.where(det_valid[..., None], det_xy, 0.0)
+    det_info = jnp.where(det_valid[..., None], det_info, 0.0)
+    out = {'det_xy': det_xy, 'det_info': det_info, 'det_valid': det_valid,
+           'n_components': n_components}
+    if det_px is not None:
+        out['det_px_idx'] = det_px.astype(jnp.int16)
+    return out
 
 
 def _stats_outputs(seg, keep, px_x, px_y, gray_in, gray_frames, n_components,

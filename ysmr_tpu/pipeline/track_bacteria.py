@@ -142,17 +142,18 @@ def resolve_batch_size(settings, transfer_mode, backend, has_display):
     Display mode bounds preview latency. Pixels mode on an accelerator
     rounds small batches up to 64 — the pixel tables are tiny and the
     bigger batch amortises the link's per-dispatch latency (measured
-    64 > 128 > 256; CLAUDE.md) — EXCEPT at dense capacities
-    (max detections per frame > 1024): there the per-batch device work
-    dwarfs the link latency while the batch-64 program's XLA compile is
-    pathological on the tunnelled worker (>20 min at 4096x8192 shapes vs
-    ~3 min for the same pipeline at batch 16).
+    64 > 128 > 256; CLAUDE.md). Round 3 exempted dense capacities because
+    the batch-64 dense program took >20 min of server-side XLA compile;
+    the root cause was the F-length segmented scans of the sorted
+    pixel-table stats path (one vmapped associative_scan at (16, 131072)
+    compiled in ~211 s alone), removed in round 4 by building the stats
+    tables straight from the run tables (component_stats_runs) — the full
+    dense batch-64 detect program now compiles in ~24 s.
     """
     batch_size = settings['frame batch size']
     if has_display:
         return min(batch_size, 16)
-    if transfer_mode == 'pixels' and batch_size < 64 and backend != 'cpu' \
-            and settings['max detections per frame'] <= 1024:
+    if transfer_mode == 'pixels' and batch_size < 64 and backend != 'cpu':
         return 64
     return batch_size
 
@@ -603,7 +604,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             return run_host_rect_tracker(pending)
         t0 = time.perf_counter()
         worker.join()
-        stage_t['det_readback'] += time.perf_counter() - t0
+        # the worker already books its own det_readback (fetch-join) time;
+        # the consumer's join wait is a DIFFERENT quantity (how long the
+        # pipelined tail lagged the consumer) and overlaps the worker's
+        # interval, so it gets its own key (ADVICE r3: double counting)
+        with stage_lock:
+            stage_t['rect_worker_wait'] += time.perf_counter() - t0
         if 'error' in pending['result']:
             raise pending['result']['error']
         return pending['result']['flight']
@@ -627,11 +633,13 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         packed = np.ascontiguousarray(pending['packed'][:, :det_px.shape[1]])
         counts = np.where(fv, pending['counts'], 0).astype(np.int32)
         t_b = time.perf_counter()
+        with stage_lock:
+            stage_t['det_readback'] += t_b - t_a
         rects, rvalid = native_mod.cv2_rects_batch(
             packed, counts, det_px, frame_width, trk_d)
         t_c = time.perf_counter()
-        stage_t['det_readback'] += t_b - t_a
-        stage_t['rects'] += t_c - t_b
+        with stage_lock:
+            stage_t['rects'] += t_c - t_b
         rects = np.where(rvalid[..., None], rects, np.float32(0))
         lum_np = None
         if config.include_luminosity:
@@ -644,7 +652,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             out = native_tracker.update_batch(
                 rects[:t_count], rvalid[:t_count], frame0=pending['start'],
                 lum=lum_np[:t_count] if lum_np is not None else None)
-            stage_t['tracker'] += time.perf_counter() - t_c
+            with stage_lock:
+                stage_t['tracker'] += time.perf_counter() - t_c
             # n_comp is already on host — carrying the device array would
             # cost consume_flight a fresh ~30 ms tunnel fetch per batch
             return (out, pending['start'], fv, n_comp, None)
@@ -764,7 +773,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         pending_rows = 0
 
     stage_t = {'wait_batch': 0.0, 'dispatch': 0.0, 'readback': 0.0,
-               'csv': 0.0, 'det_readback': 0.0, 'rects': 0.0, 'tracker': 0.0}
+               'csv': 0.0, 'det_readback': 0.0, 'rects': 0.0, 'tracker': 0.0,
+               'rect_worker_wait': 0.0}
+    # worker threads (rect/tracker tail) and the consumer update stage_t
+    # concurrently; += on a dict entry is not atomic under the GIL's
+    # bytecode boundaries
+    stage_lock = threading.Lock()
     try:
         batches = iter(reader)
         while True:
@@ -941,10 +955,13 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         extra = ''
         if stage_t['rects'] or stage_t['tracker']:
             # the host-rect sub-stages are inside the dispatch bucket
-            extra = (' [det_readback %.2f, rects %.2f, tracker %.2f]' % (
-                stage_t['det_readback'] / frames_processed * 1e3,
-                stage_t['rects'] / frames_processed * 1e3,
-                stage_t['tracker'] / frames_processed * 1e3))
+            extra = (' [det_readback %.2f, rects %.2f, tracker %.2f, '
+                     'tail_wait %.2f]' % (
+                         stage_t['det_readback'] / frames_processed * 1e3,
+                         stage_t['rects'] / frames_processed * 1e3,
+                         stage_t['tracker'] / frames_processed * 1e3,
+                         stage_t['rect_worker_wait'] / frames_processed
+                         * 1e3))
         logger.info(
             'Per-frame stage times: wait_batch %.2f ms, dispatch %.2f ms%s, '
             'readback %.2f ms, csv %.2f ms (of %.2f ms total)',

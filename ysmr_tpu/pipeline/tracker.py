@@ -49,6 +49,15 @@ class ReferenceOrderRenumberer:
     machinery at readback and accumulates an id remap — the renumbered ids
     are exact by construction, with zero device-side cost beyond the two
     extra emission columns. Batches must be observed in frame order.
+
+    Scope: the remap makes REGISTRATION order exact. After a permuted
+    registration block, the device's distance-matrix row order (ascending
+    device id) no longer equals the reference's OrderedDict insertion
+    order (ascending renumbered id), so greedy matching can still diverge
+    from the reference on EXACT distance ties in later frames — the same
+    class of residual as the documented near-tie greedy flips. Id-level
+    exactness therefore does not imply match-level exactness; the float64
+    host tracker (native/tracker64.cpp) remains the bit-exact path.
     """
 
     def __init__(self):
@@ -294,7 +303,7 @@ def run_tracker_scan(state, det_xy, det_info, det_valid, *, max_disappeared,
 
 @partial(jax.jit, static_argnames=('bucket',))
 def compact_emissions_device(emissions, n_components, *, bucket):
-    """Pack each frame's live slots into ONE (T, bucket+1, 1+K+3) buffer.
+    """Pack each frame's live slots into ONE (T, bucket+1, 2+K+3) buffer.
 
     Two wire problems at once. (a) Volume: at dense capacities the padded
     emissions are (T, S) x ~25 bytes/slot — ~6.5 MB per 16-frame batch at
@@ -309,9 +318,12 @@ def compact_emissions_device(emissions, n_components, *, bucket):
     small ints bitcast to f32 are denormals, and XLA flushes denormals to
     zero in some data-movement ops (measured: ``jnp.stack`` on CPU),
     while every f32 bit pattern is a valid int32 that no int op touches.
-    Layout: ``[:, 0, 0]`` per-frame live count, ``[:, 0, 1]``
-    n_components, ``[:, 1:, 0]`` ids, ``[:, 1:, 1:1+K]`` position bits,
-    ``[:, 1:, 1+K:4+K]`` (w, h, angle) bits. Slots beyond ``bucket`` are
+    Layout: head ``[:, 0, 0]`` per-frame live count, ``[:, 0, 1]``
+    n_components, ``[:, 0, 2]`` per-frame detection count (n_det, for the
+    renumberer); payload rows ``[:, 1:, 0]`` ids, ``[:, 1:, 1]`` det_col
+    (which detection column the slot consumed this frame, -1 = none),
+    ``[:, 1:, 2:2+K]`` position bits, ``[:, 1:, 2+K:5+K]`` (w, h, angle)
+    bits. Slots beyond ``bucket`` are
     dropped on device — the caller compares counts against ``bucket`` and
     falls back to the padded arrays for the (rare, once-per-upgrade)
     overflowing batch.
