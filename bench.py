@@ -430,11 +430,31 @@ def measure_dense(n_obj=16000):
               use_pallas=jax.default_backend() == 'tpu')
     state = trk.init_tracker_state(16384, dims=2, use_gsff=False)
 
+    # runs wire + run-graph CC, exactly like the production pixels path —
+    # the packed-pixel route's sorted stats tables are the known XLA:TPU
+    # compile pathology at dense capacities (~23 min for this program;
+    # the run-table path compiles in seconds)
+    from ysmr_tpu import native as nat
+    runs_buf = np.zeros((b, f), np.uint32)
+    runs_cnt = np.zeros(b, np.int32)
+    ret = nat.encode_runs_batch(packed, counts, runs_buf, runs_cnt, w=W)
+    if ret is None:
+        ret = nat.encode_runs_numpy(packed, counts, runs_buf, runs_cnt, w=W)
+    use_runs = ret is not None and ret > 0
+    if use_runs:
+        bucket = 1 << max(int(ret) - 1, 511).bit_length()
+        px_runs = runs_buf[:, :min(f, bucket)].copy()
+
     import jax.numpy as jnp
 
     def step():
-        out = detect_from_pixels(None, None, counts, None, fv,
-                                 px_packed=packed, **kw)
+        if use_runs:
+            out = detect_from_pixels(None, None, counts, None, fv,
+                                     px_runs=px_runs, run_counts=runs_cnt,
+                                     expanded_f=f, use_run_cc=True, **kw)
+        else:
+            out = detect_from_pixels(None, None, counts, None, fv,
+                                     px_packed=packed, **kw)
         s2, em = trk.run_tracker_scan(state, out['det_xy'], out['det_info'],
                                       out['det_valid'], max_disappeared=30.0,
                                       use_gsff=False,
