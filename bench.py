@@ -566,6 +566,65 @@ def measure_dense_e2e(reps=3):
         out['reference_fps'] = ref['reference_fps']
         out['reference_tracks'] = ref.get('reference_tracks')
         out['vs_baseline'] = round(value / ref['reference_fps'], 2)
+
+    return out
+
+
+def measure_dense_exact(reps=2):
+    """Bit-exact dense mode: raising the host-rect capacity gate runs the
+    cv2-bit-exact rects + float64 tracker at dense scale too — identical
+    rows incl. TRACK_ID numbering, verified against the committed
+    reference dense ``_list.csv`` (the fast device-tracker mode keeps its
+    documented double-single near-tie deviation: 2893 vs 2899 tracks on
+    this clip). Separate from measure_dense_e2e so a worker crash after
+    the fresh dense-exact compiles only costs this measurement.
+    """
+    dense_clip = os.path.join(CACHE_DIR, 'dense_clip.avi')
+    if not os.path.isfile(dense_clip):
+        make_clip(dense_clip, DENSE_CLIP_FRAMES, seed=SEED + 2,
+                  n_bugs=DENSE_CLIP_BUGS)
+    ref_csv = None
+    for cand in (os.path.join(CACHE_DIR, 'ref_results_dense',
+                              'dense_clip_list.csv'),
+                 os.path.join(BENCH_DATA, 'dense_clip_list.csv.gz')):
+        if os.path.isfile(cand):
+            ref_csv = cand
+            break
+    from ysmr_tpu.pipeline.track_bacteria import track_bacteria
+    exact_folder = os.path.join(CACHE_DIR, 'our_results_dense_exact')
+    os.makedirs(exact_folder, exist_ok=True)
+    settings = bench_settings({
+        'minimal frame count': 32,
+        'max detections per frame': 4096,
+        'max track slots': 8192,
+        'max bounding box height': 48,
+        'max foreground pixels per frame': 131072,
+        'frame batch size': 64,
+        'cv2 exact rects max detections': 4096,
+    })
+    res = track_bacteria(dense_clip, settings=settings,
+                         result_folder=exact_folder)  # compile warmup
+    assert res is not None, 'dense exact warmup failed'
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = track_bacteria(dense_clip, settings=settings,
+                             result_folder=exact_folder)
+        runs.append(DENSE_CLIP_FRAMES / (time.perf_counter() - t0))
+        assert res is not None, 'dense exact run failed'
+    out = {'value': round(float(np.median(runs)), 2),
+           'tracks': int(res[0]['TRACK_ID'].nunique())}
+    if ref_csv is not None:
+        strict, detail = check_row_parity(res[0], ref_csv)
+        out['identical_rows_vs_reference'] = bool(strict)
+        out['row_parity_detail'] = detail
+    base_file = os.path.join(BENCH_DATA, 'reference_dense_baseline.json')
+    if os.path.isfile(base_file):
+        try:
+            ref = json.load(open(base_file))
+            out['vs_baseline'] = round(out['value'] / ref['reference_fps'], 2)
+        except Exception:
+            pass
     return out
 
 
@@ -859,13 +918,16 @@ def main():
     record['dense_e2e'] = dense_e2e
     emit(record)
 
-    # dense-scene stretch (BASELINE config 5, synthetic device-only) last:
-    # its 16k-shape program takes >20 min of (asynchronous, uncacheable —
-    # the current axon worker silently fails persistent-cache writes)
-    # server-side compilation, so a fresh process usually cannot measure it
-    # inside the window. A successful measurement is cached on disk; when
-    # the live attempt fails, the record carries the cached value clearly
-    # labeled as such with its timestamp.
+    # bit-exact dense mode (host rects + float64 tracker above the default
+    # capacity gate): identical rows vs the committed reference dense CSV
+    record['dense_e2e_exact'] = _run_isolated('measure_dense_exact',
+                                              timeout=600)
+    emit(record)
+
+    # dense-scene stretch (BASELINE config 5, synthetic device-only): since
+    # the run-table stats path the 16k program compiles in seconds and the
+    # whole measurement fits ~75 s; a successful measurement refreshes the
+    # on-disk cache, which covers a TPU-outage window honestly.
     dense = _run_isolated('measure_dense', timeout=600, attempts=1)
     dense_objects, dense_fps = dense if dense else (None, None)
     record['dense_scene_objects_per_frame'] = dense_objects

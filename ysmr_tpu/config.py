@@ -72,6 +72,11 @@ _TPU_DEFAULTS = {
     # in pixels transfer mode when the native library is built; the device
     # path is used otherwise.
     'cv2 exact rects': True,
+    # capacity gate for the host path above: scenes whose 'max detections
+    # per frame' exceeds this keep the device tracker (the host rect trace
+    # + float64 tracker run on one core). Raise it to opt dense scenes
+    # into the bit-exact path.
+    'cv2 exact rects max detections': 1024,
     # host->device wire for pixels mode: 'auto' run-length-encodes the
     # foreground pixels (raster-order blobs are horizontal runs; ~4-5x
     # less traffic at dense scale, expanded back on device), 'pixels'
@@ -575,6 +580,8 @@ def get_configs(tracking_ini_filepath=None):
             'max bounding box height': tpu_int('max bounding box height'),
             'luminosity window size': tpu_int('luminosity window size'),
             'cv2 exact rects': tpu_bool('cv2 exact rects'),
+            'cv2 exact rects max detections':
+                tpu_int('cv2 exact rects max detections'),
             'wire format': tpu.get('wire format', 'auto').strip().lower(),
             'run cc': tpu.get('run cc', 'auto').strip().lower(),
             'compact emissions readback':

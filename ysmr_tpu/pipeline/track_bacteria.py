@@ -360,13 +360,19 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     # ~3e-4 px f32 caliper noise delta vs the reference — the piece that
     # blocks exact TRACK_ID numbering parity (reference track_eval.py:287).
     use_host_rects = False
-    # auto-gate on capacity: the host tracker's cdist is O(slots x dets) in
-    # serial float64 and the per-detection contour trace runs on the single
-    # host core — at dense-scene capacities (>1024 detections/frame) that
-    # would dominate the frame budget, so dense scenes keep the device
-    # tracker (documented deviation: ascending registration order)
+    # auto-gate on capacity: the host tracker's row-min distance pass is
+    # O(slots x dets) serial float64 and the per-detection contour trace
+    # runs on the single host core — beyond the threshold (default 1024
+    # detections/frame) dense scenes keep the device tracker (documented
+    # deviation: double-single arithmetic + renumbered registration order).
+    # Raising '[TPU SETTINGS] cv2 exact rects max detections' opts dense
+    # scenes into the bit-exact host path (tracker64 is AVX-512 row-min
+    # with no materialized matrix, so ~3000x3000 scenes cost only a few
+    # ms/frame of host time).
+    exact_rect_cap = int(settings.get('cv2 exact rects max detections',
+                                      1024) or 0)
     if transfer_mode == 'pixels' and display is None and \
-            config.max_det <= 1024 and \
+            config.max_det <= exact_rect_cap and \
             bool(settings.get('cv2 exact rects', True)):
         from ysmr_tpu import native as native_mod
         use_host_rects = native_mod.available()
