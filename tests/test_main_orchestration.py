@@ -168,15 +168,15 @@ def test_ysmr_multiprocess_with_parent_device_held(tmp_path):
 
 
 def test_resolve_batch_size_rules():
-    """Pixels-mode batch rounding: up to 64 on an accelerator at sparse
-    capacities, UNTOUCHED at dense capacities (the batch-64 dense program's
-    compile is pathological on the tunnelled worker) and on CPU; display
-    bounds the batch for preview latency."""
+    """Pixels-mode batch rounding: up to 64 on an accelerator (dense
+    capacities included since the run-table stats path removed the
+    batch-64 compile pathology), UNTOUCHED on CPU; display bounds the
+    batch for preview latency."""
     from ysmr_tpu.pipeline.track_bacteria import resolve_batch_size
     sparse = {'frame batch size': 16, 'max detections per frame': 512}
     dense = {'frame batch size': 16, 'max detections per frame': 4096}
     assert resolve_batch_size(sparse, 'pixels', 'tpu', False) == 64
-    assert resolve_batch_size(dense, 'pixels', 'tpu', False) == 16
+    assert resolve_batch_size(dense, 'pixels', 'tpu', False) == 64
     assert resolve_batch_size(sparse, 'pixels', 'cpu', False) == 16
     assert resolve_batch_size(sparse, 'frames', 'tpu', False) == 16
     assert resolve_batch_size({'frame batch size': 128,
