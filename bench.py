@@ -495,8 +495,11 @@ def measure_dense_e2e(reps=3):
         make_clip(dense_clip, DENSE_CLIP_FRAMES, seed=SEED + 2,
                   n_bugs=DENSE_CLIP_BUGS)
     ref = None
-    for base_file in (os.path.join(CACHE_DIR, 'reference_dense_baseline.json'),
-                      os.path.join(BENCH_DATA,
+    # committed baseline first: it is the pinned cross-round denominator
+    # (the session cache may hold an older single-run measure)
+    for base_file in (os.path.join(BENCH_DATA,
+                                   'reference_dense_baseline.json'),
+                      os.path.join(CACHE_DIR,
                                    'reference_dense_baseline.json')):
         if os.path.isfile(base_file):
             try:
@@ -934,7 +937,7 @@ def main():
     # the run-table stats path the 16k program compiles in seconds and the
     # whole measurement fits ~75 s; a successful measurement refreshes the
     # on-disk cache, which covers a TPU-outage window honestly.
-    dense = _run_isolated('measure_dense', timeout=600, attempts=1)
+    dense = _run_isolated('measure_dense', timeout=600, attempts=2)
     dense_objects, dense_fps = dense if dense else (None, None)
     record['dense_scene_objects_per_frame'] = dense_objects
     record['dense_scene_fps'] = dense_fps
