@@ -531,14 +531,14 @@ def measure_dense_e2e(reps=3):
     folder = os.path.join(CACHE_DIR, 'our_results_dense')
     os.makedirs(folder, exist_ok=True)
     # capacities sized to the measured scene maxima with margin (whole
-    # clip: 2378 detections/frame, component height 46 px, 102k fg px):
-    # a user sizes these per dataset, and oversizing is pure cost — the
-    # stats tables scale with max_det x max_bh (8192x64 -> 4096x48 was
-    # measured +25% e2e with row-identical output)
+    # clip: 2378 detections/frame, 2899 total tracks, component height
+    # 46 px, 102k fg px): a user sizes these per dataset, and oversizing
+    # is pure cost — slots 8192 -> 4096 alone was +13% e2e (the tracker's
+    # distance matrix and the emissions readback both scale with slots)
     settings = bench_settings({
         'minimal frame count': 32,
         'max detections per frame': 4096,
-        'max track slots': 8192,
+        'max track slots': 4096,
         'max bounding box height': 48,
         'max foreground pixels per frame': 131072,
         'frame batch size': 64,
@@ -599,7 +599,7 @@ def measure_dense_exact(reps=2):
     settings = bench_settings({
         'minimal frame count': 32,
         'max detections per frame': 4096,
-        'max track slots': 8192,
+        'max track slots': 4096,
         'max bounding box height': 48,
         'max foreground pixels per frame': 131072,
         'frame batch size': 64,
