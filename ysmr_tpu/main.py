@@ -258,6 +258,22 @@ def _pool_worker_init():
     ('shard videos across devices').
     """
     os.environ['JAX_PLATFORMS'] = 'cpu'
+    # the env var alone is not enough: an accelerator plugin registered
+    # from sitecustomize can set jax_platforms itself and initialise the
+    # backend set at interpreter start, before this initializer runs. A
+    # config.update then no-ops against the cached backends and the worker
+    # still resolves the accelerator (and can block forever on an
+    # unreachable one). Pin the platform AND drop any already-initialised
+    # backend set so the next backends() re-reads the pinned value.
+    try:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        from jax._src import xla_bridge as _xb
+        if _xb.backends_are_initialized():
+            from jax.extend.backend import clear_backends
+            clear_backends()
+    except Exception:  # jax unavailable: the env var still applies
+        pass
 
 
 def _dispatch_pool(paths, settings, folder, log):
