@@ -30,6 +30,29 @@ def test_format_rows_matches_python_repr():
             assert float(cells[2 + j]) == arr[i]  # round-trip exact
 
 
+def test_format_rows_bytes_matches_str_and_binary_write(tmp_path):
+    """The zero-copy bytes path (memoryview over the C buffer) must render
+    the same bytes as the str API, and save_list's binary append must
+    produce a byte-identical CSV to the former text-mode write."""
+    n = 400
+    rng = np.random.default_rng(2)
+    tid = rng.integers(0, 50, n)
+    frm = rng.integers(0, 700, n)
+    cols = [rng.uniform(-90, 1228, n) for _ in range(5)]
+    raw = native.format_rows_bytes(tid, frm, *cols)
+    text = native.format_rows(tid, frm, *cols)
+    assert bytes(raw) == text.encode('ascii')
+
+    from ysmr_tpu.utils.csv_io import save_list
+    arrays = {k: v for k, v in zip(
+        ('TRACK_ID', 'POSITION_T', 'POSITION_X', 'POSITION_Y', 'WIDTH',
+         'HEIGHT', 'DEGREES_ANGLE'), (tid, frm, *cols))}
+    path = tmp_path / 'x_list.csv'
+    path.write_text('HEADER\n')
+    save_list(arrays=arrays, path=str(path))
+    assert path.read_bytes() == b'HEADER\n' + bytes(raw)
+
+
 def test_format_rows_with_illumination():
     n = 5
     rng = np.random.default_rng(0)

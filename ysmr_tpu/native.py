@@ -31,7 +31,7 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_char_p]
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_char)]
         lib.format_table.restype = ctypes.c_int64
         lib.format_table.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
@@ -487,8 +487,10 @@ def format_table(columns):
     return buf.raw[:written]
 
 
-def format_rows(track_id, frame, x, y, w, h, deg, illumination=None):
-    """CSV text for packed result columns; None if the library is missing."""
+def format_rows_bytes(track_id, frame, x, y, w, h, deg, illumination=None):
+    """CSV rows for packed result columns as a bytes-like view (no str
+    round trip: the buffer is written once by the C formatter and handed to
+    the file layer as a memoryview); None if the library is missing."""
     lib = _load()
     if lib is None:
         return None
@@ -501,13 +503,21 @@ def format_rows(track_id, frame, x, y, w, h, deg, illumination=None):
     if illumination is not None:
         lum = np.ascontiguousarray(illumination, dtype=np.float64)
         lum_ptr = lum.ctypes.data_as(ctypes.c_void_p)
-    buf = ctypes.create_string_buffer(n * 160)
+    # np.empty: the formatter overwrites [0, written) and nothing reads
+    # beyond it, so the ~20 MB memset of a zeroed buffer is pure waste
+    buf = np.empty(n * 160, np.uint8)
     written = lib.format_rows(
         tid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         frm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _dp(cols[0]), _dp(cols[1]), _dp(cols[2]), _dp(cols[3]), _dp(cols[4]),
-        lum_ptr, n, buf)
-    return buf.raw[:written].decode('ascii')
+        lum_ptr, n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)))
+    return memoryview(buf)[:written]
+
+
+def format_rows(track_id, frame, x, y, w, h, deg, illumination=None):
+    """CSV text for packed result columns; None if the library is missing."""
+    raw = format_rows_bytes(track_id, frame, x, y, w, h, deg, illumination)
+    return None if raw is None else bytes(raw).decode('ascii')
 
 
 def extract_fg_pixels(mask_u8, markers_u8, xs, ys, flags):

@@ -217,13 +217,20 @@ def save_df_to_csv(df, save_path, rename_old_file=True):
 
 
 def _format_rows_numpy(track_id, frame, x, y, w, h, deg, illumination=None):
-    """Vectorised CSV row formatting for packed result columns."""
+    """Vectorised CSV row formatting for packed result columns.
+
+    Returns a bytes-like object (native path: a memoryview over the C
+    formatter's output buffer — no str decode/encode round trip) or ``str``
+    from the numpy fallback; writers open in binary and encode str lazily.
+    """
     try:
-        from ysmr_tpu.native import format_rows as native_format
+        from ysmr_tpu.native import format_rows_bytes as native_format
     except Exception:
         native_format = None
     if native_format is not None:
-        return native_format(track_id, frame, x, y, w, h, deg, illumination)
+        raw = native_format(track_id, frame, x, y, w, h, deg, illumination)
+        if raw is not None:
+            return raw
     cols = [np.char.mod('%d', track_id.astype(np.int64)),
             np.char.mod('%d', frame.astype(np.int64))]
     for arr in (x, y, w, h, deg):
@@ -285,8 +292,8 @@ def save_list(path, result_folder=None, coords=None, first_call=False,
             arrays['POSITION_Y'], arrays['WIDTH'], arrays['HEIGHT'],
             arrays['DEGREES_ANGLE'],
             arrays.get('ILLUMINATION') if illumination else None)
-        with open(path, 'a', newline='') as file:
-            file.write(text)
+        with open(path, 'ab') as file:
+            file.write(text.encode('ascii') if isinstance(text, str) else text)
         return None, None
 
     if coords:
@@ -327,13 +334,18 @@ def finalize_sorted_list(parts, list_name, illumination=False, save_file=True):
             arrays['POSITION_Y'], arrays['WIDTH'], arrays['HEIGHT'],
             arrays['DEGREES_ANGLE'],
             arrays['ILLUMINATION'] if with_lum else None)
-        with open(list_name, 'w+', newline='') as file:
-            file.write((CSV_HEADER_ILLUMINATION if with_lum else CSV_HEADER) + '\n')
-            file.write(text)
+        with open(list_name, 'wb') as file:
+            header = CSV_HEADER_ILLUMINATION if with_lum else CSV_HEADER
+            file.write((header + '\n').encode('ascii'))
+            file.write(text.encode('ascii') if isinstance(text, str) else text)
     dtype = dict(DEFAULT_DTYPE)
     if with_lum:
         dtype['ILLUMINATION'] = np.float64
-    return pd.DataFrame({k: arrays[k].astype(dt) for k, dt in dtype.items()})
+    # the column arrays are freshly built above — hand them to pandas
+    # without the defensive astype copy when the dtype already matches
+    return pd.DataFrame({k: arrays[k] if arrays[k].dtype == dt
+                         else arrays[k].astype(dt)
+                         for k, dt in dtype.items()})
 
 
 def collate_results_csv_to_xlsx(path=None, save_path=None, csv_extension='statistics.csv'):
