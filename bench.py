@@ -141,12 +141,23 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=5):
     res = track_bacteria(warmup_clip, settings=warm, result_folder=result_folder)
     assert res is not None, 'warmup run failed'
     settings = bench_settings(extra)
-    # one untimed full-clip pass: the short warmup clip compiles the
-    # programs but leaves the tunnel/worker cold at full load — the first
-    # full-clip run consistently measures ~60% of steady state (115 vs
-    # 180 fps observed), which is warm-up, not throughput
-    res = track_bacteria(clip, settings=settings, result_folder=result_folder)
-    assert res is not None, 'full-clip warmup failed'
+    # untimed full-clip passes until throughput stabilizes: the short warmup
+    # clip compiles the programs but leaves the tunnel/worker (and the host
+    # CPU's frequency/cache state) cold at full load — the ramp spans 2-4
+    # full-clip passes (observed 120 -> 140 -> 165 -> 173 fps), so a single
+    # untimed pass leaves the first timed reps measuring warm-up, not
+    # throughput. Each pass is only ~4 s; warm until two consecutive passes
+    # agree within 4% (cap 4 passes).
+    prev_fps = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        res = track_bacteria(clip, settings=settings,
+                             result_folder=result_folder)
+        assert res is not None, 'full-clip warmup failed'
+        pass_fps = N_FRAMES / (time.perf_counter() - t0)
+        if prev_fps and pass_fps < prev_fps * 1.04:
+            break
+        prev_fps = pass_fps
     runs = []
     n_tracks = None
     df = None
