@@ -149,15 +149,44 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=5):
     # throughput. Each pass is only ~4 s; warm until two consecutive passes
     # agree within 4% (cap 4 passes).
     prev_fps = 0.0
-    for _ in range(4):
+    for warm_i in range(4):
         t0 = time.perf_counter()
         res = track_bacteria(clip, settings=settings,
                              result_folder=result_folder)
         assert res is not None, 'full-clip warmup failed'
         pass_fps = N_FRAMES / (time.perf_counter() - t0)
-        if prev_fps and pass_fps < prev_fps * 1.04:
+        # at least two full passes (the ramp is slow-but-steady: a single
+        # barely-improved pass is not yet steady state), then stop once the
+        # improvement flattens below 4%
+        if warm_i >= 1 and pass_fps < prev_fps * 1.04:
             break
-        prev_fps = pass_fps
+        prev_fps = max(prev_fps, pass_fps)
+    # contemporaneous host floor: the host CPU's effective speed swings
+    # +-10-20% across MINUTES on this box (observed floor 166-193 fps on an
+    # idle machine within one session), so an efficiency ratio against a
+    # floor measured earlier in the bench is noise. The timed reps are
+    # bracketed by inline active-path passes (before and after); their mean
+    # is the floor at headline time.
+    def floor_pass():
+        try:
+            from ysmr_tpu.io.preproc import HostPreprocessor
+            from ysmr_tpu.io.video import BatchedVideoReader
+            pre = HostPreprocessor(
+                settings, FPS,
+                max_fg=settings['max foreground pixels per frame'])
+            reader = BatchedVideoReader(
+                clip, batch_size=64, prefetch=2, preprocess=pre,
+                decode_mode=settings.get('decode mode', 'exact'),
+                threaded=False)
+            n = 0
+            t0 = time.perf_counter()
+            for batch in reader:
+                n += batch['count']
+            return n / max(time.perf_counter() - t0, 1e-9)
+        except Exception as exc:
+            print('floor pass failed: {}'.format(exc), file=sys.stderr)
+            return None
+    floor_before = floor_pass()
     runs = []
     n_tracks = None
     df = None
@@ -170,12 +199,18 @@ def measure_ours(clip, warmup_clip, result_folder, extra=None, reps=5):
         runs.append(N_FRAMES / elapsed)
         df = res[0]
         n_tracks = int(df['TRACK_ID'].nunique())
+    floor_after = floor_pass()
     stats = {
         'median': round(float(np.median(runs)), 2),
         'min': round(min(runs), 2),
         'max': round(max(runs), 2),
         'reps': reps,
     }
+    floors = [f for f in (floor_before, floor_after) if f]
+    if floors:
+        stats['host_floor_fps_at_run'] = round(
+            float(np.mean(floors)), 1)
+        stats['host_floor_fps_at_run_spread'] = [round(f, 1) for f in floors]
     return stats, n_tracks, df
 
 
@@ -910,9 +945,16 @@ def main():
     record['row_parity_detail'] = parity_detail
     emit(record)  # the headline is now on the record, whatever happens next
 
+    # efficiency against the floor measured IN the headline process right
+    # after the timed reps (the host speed drifts +-10-20% across minutes;
+    # the up-front floor stays on the record as the outage-proof evidence)
+    floor_at_run = ours.get('host_floor_fps_at_run')
+    record['host_floor_fps_at_headline'] = floor_at_run
+    record['host_floor_fps_at_headline_spread'] = \
+        ours.get('host_floor_fps_at_run_spread')
+    eff_floor = floor_at_run or (host_floor and host_floor['host_floor_fps'])
     record['e2e_host_efficiency'] = \
-        round(record['value'] / host_floor['host_floor_fps'], 3) \
-        if host_floor else None
+        round(record['value'] / eff_floor, 3) if eff_floor else None
     emit(record)
 
     # chip-only throughput: what the device does when the host never
