@@ -44,6 +44,12 @@ _H2D_BANDWIDTH = None
 #: knob for genuinely d2h-constrained links (e.g. a shared PCIe host).
 _FORCE_PADDED_READBACK = False
 
+#: last completed run's per-frame stage split (ms/frame), for callers that
+#: want the 'profile stages' numbers programmatically (bench.py carries the
+#: median-rep split in its record so the headline-vs-floor gap is evidenced,
+#: not asserted). Written once per finished track_bacteria() call.
+LAST_STAGE_SPLIT = None
+
 _SLICE_JITS = {}
 
 
@@ -764,6 +770,13 @@ def track_bacteria(video_path, settings=None, result_folder=None):
 
     def maybe_display(flight):
         """Preview a read-back batch; returns True when the user hit 'q'."""
+        # lazy rect-worker flights are 2-tuples ('lazy_rect_flight', pending)
+        # until consume_flight joins the worker; host-rect flights carry
+        # disp=None anyway, so skip without resolving (indexing flight[4]
+        # here crashed display-enabled host-rect runs)
+        if isinstance(flight, tuple) and len(flight) == 2 and \
+                flight[0] == 'lazy_rect_flight':
+            return display is not None and display.interrupted
         if display is None or flight[4] is None or not display.enabled or \
                 display.interrupted:
             return display is not None and display.interrupted
@@ -969,6 +982,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     elapsed = time.perf_counter() - t_start
     stop_profiler()
     analysis_fps = frames_processed / elapsed if elapsed > 0 else float('inf')
+    if frames_processed:
+        global LAST_STAGE_SPLIT
+        LAST_STAGE_SPLIT = {
+            k: round(v / frames_processed * 1e3, 3) for k, v in stage_t.items()}
+        LAST_STAGE_SPLIT['total_ms_per_frame'] = round(
+            elapsed / frames_processed * 1e3, 3)
     if (settings['verbose'] or settings.get('profile stages')) and frames_processed:
         extra = ''
         if stage_t['rects'] or stage_t['tracker']:
