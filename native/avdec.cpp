@@ -691,22 +691,25 @@ struct DcFlatLut {
 thread_local DcFlatLut tl_dcflat;
 
 // MSB-first bit reader over the unstuffed entropy bytes; reads past the
-// end deliver zero bits and are counted (the caller declines the frame if
-// any were consumed mid-stream). Protocol: call refill32() once, then
-// consume at most 32 bits through huff()/bits() before the next refill —
-// one Huffman code (<=16) plus its value bits (<=15) fits in one window.
+// end deliver zero bits, and ``bits_consumed()`` exposes exactly how many
+// bits the decode used so the caller can verify none were fabricated.
+// Protocol: call refill56() once, then consume at most 56 bits before the
+// next refill — TWO Huffman code + value pairs (<=27 bits each: code <=16
+// after the fallback size guard, value <=11) fit in one window, which is
+// what lets the block loop decode two coefficients per refill.
 struct BitReader {
     uint64_t buf;       // next bits, left-aligned
     int n;              // valid bits in buf
     const uint8_t* p;
+    const uint8_t* start;
     const uint8_t* end;
-    int64_t overrun = 0;
+    int64_t overrun = 0;  // zero bytes appended past the stream end
 
     BitReader(const uint8_t* d, const uint8_t* e)
-        : buf(0), n(0), p(d), end(e) {}
+        : buf(0), n(0), p(d), start(d), end(e) {}
 
-    __attribute__((always_inline)) inline void refill32() {
-        if (n >= 32) return;
+    __attribute__((always_inline)) inline void refill56() {
+        if (n >= 56) return;
         if (__builtin_expect(p + 8 <= end, 1)) {
             // branchless 8-byte refill (lookahead style): the OR also
             // deposits <8 uncounted bits of the first unconsumed byte,
@@ -734,6 +737,12 @@ struct BitReader {
         buf <<= k;
         n -= k;
         return v;
+    }
+    // bits actually taken from the stream so far; beyond 8*stream_size
+    // means zero bits were fabricated into decoded values (phantom bytes
+    // merely BUFFERED by an end-of-stream refill do not count)
+    int64_t bits_consumed() const {
+        return 8 * ((p - start) + overrun) - n;
     }
 };
 
@@ -807,6 +816,32 @@ struct HuffTab {
                 (look >> (16 - len - 1)) & 1);
         }
         return -1;
+    }
+
+    // one (run, size, raw value bits) triple in a single step: the comb
+    // fast path consumes code + value bits with one shift pair; long codes
+    // fall back to the mincode walk. Needs >=31 buffered bits (code <=16,
+    // value <=15). Returns false on an invalid code.
+    __attribute__((always_inline)) inline bool rsv(BitReader& br, int* r,
+                                                   int* sz, int* raw) {
+        const int e = comb[static_cast<uint32_t>(br.buf >> 52)];
+        if (__builtin_expect(e >= 0, 1)) {
+            const int len = e & 31;
+            *r = (e >> 5) & 15;
+            *sz = (e >> 9) & 15;
+            const uint64_t sh = br.buf << len;
+            br.buf = sh << *sz;
+            br.n -= len + *sz;
+            // (sh>>1)>>(63-sz) == sh>>(64-sz), safe at sz==0
+            *raw = static_cast<int>((sh >> 1) >> (63 - *sz));
+            return true;
+        }
+        const int rs = decode(br);
+        if (rs < 0) return false;
+        *r = rs >> 4;
+        *sz = rs & 15;
+        *raw = *sz != 0 ? br.bits(*sz) : 0;
+        return true;
     }
 };
 
@@ -1070,65 +1105,50 @@ int jdec_decode_gray(const uint8_t* jpg, int64_t size, uint8_t* gray,
             for (int by = 0; by < hd.cv; ++by) {
                 for (int bx = 0; bx < hd.ch; ++bx) {
                     std::memset(blk, 0, sizeof blk);
-                    br.refill32();
-                    int s, diff;
-                    {
-                        const int e = ydc.comb[static_cast<uint32_t>(
-                            br.buf >> 52)];
-                        if (__builtin_expect(e >= 0, 1)) {
-                            const int len = e & 31;
-                            s = (e >> 9) & 15;
-                            const uint64_t sh = br.buf << len;
-                            br.buf = sh << s;
-                            br.n -= len + s;
-                            // (sh>>1)>>(63-s) == sh>>(64-s), safe at s==0
-                            diff = extend_sign(
-                                static_cast<int>((sh >> 1) >> (63 - s)), s);
-                        } else {
-                            s = ydc.decode(br);
-                            if (s < 0) return -6;
-                            diff = extend_sign(s != 0 ? br.bits(s) : 0, s);
-                        }
-                        if (s > 11) return -6;
-                    }
+                    br.refill56();
+                    int r, s, raw;
+                    if (!ydc.rsv(br, &r, &s, &raw)) return -6;
+                    if (r != 0 || s > 11) return -6;
+                    const int diff = extend_sign(raw, s);
                     int val = diff * static_cast<int>(qy[0]) + last_dc[0];
                     val = val < -32768 ? -32768 : (val > 32767 ? 32767 : val);
                     last_dc[0] = val;
                     blk[0] = static_cast<int16_t>(val);
+                    // two coefficients per refill window: one 56-bit
+                    // refill covers two worst-case comb pairs (<=27 bits
+                    // each); only when the FIRST symbol takes the
+                    // long-code fallback (<=31 bits) can the window dip
+                    // below the second's worst case — topped back up then.
+                    // (A 12-bit TWO-coefficient pair table was tried and
+                    // is SLOWER here: ~5-6-bit average symbols mean most
+                    // code+value pairs spill past 12 bits, so the extra
+                    // 16 KB lookup lengthens the serial chain on misses —
+                    // measured +1.2 ms/frame vs this loop.)
                     int k = 1;
                     while (k < 64) {
-                        br.refill32();
-                        int r, sz, raw;
-                        const int e = yac.comb[static_cast<uint32_t>(
-                            br.buf >> 52)];
-                        if (__builtin_expect(e >= 0, 1)) {
-                            const int len = e & 31;
-                            r = (e >> 5) & 15;
-                            sz = (e >> 9) & 15;
-                            const uint64_t sh = br.buf << len;
-                            br.buf = sh << sz;
-                            br.n -= len + sz;
-                            raw = static_cast<int>((sh >> 1) >> (63 - sz));
-                        } else {
-                            const int rs = yac.decode(br);
-                            if (rs < 0) return -7;
-                            r = rs >> 4;
-                            sz = rs & 15;
-                            raw = sz != 0 ? br.bits(sz) : 0;
+                        br.refill56();
+                        for (int rep = 0; rep < 2 && k < 64; ++rep) {
+                            int sz;
+                            if (__builtin_expect(rep != 0 && br.n < 32, 0)) {
+                                br.refill56();
+                            }
+                            if (!yac.rsv(br, &r, &sz, &raw)) return -7;
+                            if (sz == 0) {
+                                if (r != 15) goto luma_block_done;  // EOB
+                                k += 16;
+                                if (k >= 64) goto luma_block_done;
+                                continue;
+                            }
+                            k += r;
+                            if (k > 63) return -8;
+                            const int level = extend_sign(raw, sz);
+                            blk[kTz.tz[k]] = static_cast<int16_t>(
+                                static_cast<uint16_t>(
+                                    level * static_cast<int>(qy[k])));
+                            ++k;
                         }
-                        if (sz == 0) {
-                            if (r != 15) break;  // EOB
-                            k += 16;
-                            continue;
-                        }
-                        k += r;
-                        if (k > 63) return -8;
-                        const int level = extend_sign(raw, sz);
-                        blk[kTz.tz[k]] = static_cast<int16_t>(
-                            static_cast<uint16_t>(
-                                level * static_cast<int>(qy[k])));
-                        ++k;
                     }
+                luma_block_done:
                     g_idct.idct_put(
                         jd.yplane.data() +
                             static_cast<size_t>(by * 8) * ypw +
@@ -1141,14 +1161,15 @@ int jdec_decode_gray(const uint8_t* jpg, int64_t size, uint8_t* gray,
                 HuffTab& cdc = jd.hdc[hd.comp_dc[c]];
                 HuffTab& cac = jd.hac[hd.comp_ac[c]];
                 const uint16_t* q = c == 1 ? qu : qv;
-                br.refill32();
+                // one refill covers DC (<=27 bits) + the EOB code (<=16)
+                br.refill56();
                 const int s = cdc.decode(br);
                 if (s < 0 || s > 11) return -9;
                 const int diff = extend_sign(s != 0 ? br.bits(s) : 0, s);
                 int val = diff * static_cast<int>(q[0]) + last_dc[c];
                 val = val < -32768 ? -32768 : (val > 32767 ? 32767 : val);
                 last_dc[c] = val;
-                br.refill32();
+                if (br.n < 16) br.refill56();
                 const int rs = cac.decode(br);
                 if (rs != 0) return 1;  // AC energy: color content
                 const int flat = dcflat.get(static_cast<int16_t>(val));
@@ -1163,7 +1184,9 @@ int jdec_decode_gray(const uint8_t* jpg, int64_t size, uint8_t* gray,
                 if (fv != pv[0] && (pn < 2 || fv != pv[1])) return 1;
             }
         }
-        if (br.overrun > 8) return 1;  // truncated stream: not exact
+        // truncated stream: decoded values used fabricated zero bits
+        if (br.bits_consumed() > 8 * static_cast<int64_t>(jd.scan.size()))
+            return 1;
         const uint64_t tsc1 = __builtin_ia32_rdtsc();
         g_jdec_tsc_entropy.fetch_add(tsc1 - tsc0,
                                      std::memory_order_relaxed);
@@ -1253,7 +1276,8 @@ int jdec_decode_gray(const uint8_t* jpg, int64_t size, uint8_t* gray,
         g_jdec_tsc_lut.fetch_add(__builtin_ia32_rdtsc() - tsc1,
                                  std::memory_order_relaxed);
     }
-    if (br.overrun > 8) return 1;
+    if (br.bits_consumed() > 8 * static_cast<int64_t>(jd.scan.size()))
+        return 1;
     out_dims[0] = h;
     out_dims[1] = w;
     g_jdec_frames.fetch_add(1, std::memory_order_relaxed);
