@@ -27,8 +27,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)  # plain numpy: a module-level jnp constant
+# would initialise the XLA backend at import time (breaking
+# jax.distributed.initialize, which must run before any backend use)
 
 
 def pairwise_distances(obj_xy, obj_valid, det_xy, det_valid):

@@ -120,7 +120,7 @@ class GSFFParams:
         self.n_i_arr = jnp.asarray(self.n_i, dtype=jnp.int32)
 
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # numpy, not jnp: keep imports backend-free
 
 
 def init_state(params, max_slots):

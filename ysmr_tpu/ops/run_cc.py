@@ -42,9 +42,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: sentinel larger than any real sort key (keys are < 2^22 after packing)
-_BIG = jnp.int32(1 << 28)
+_BIG = np.int32(1 << 28)  # numpy, not jnp: keep imports backend-free
 
 
 def decode_runs(px_runs, run_counts, w):

@@ -17,6 +17,8 @@ The reference's only parallelism is a process pool with one worker per video
   sharded; only O(R) crosses the interconnect.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 try:  # modern API (supports check_vma); the experimental module is deprecated
@@ -31,6 +33,43 @@ except ImportError:  # pragma: no cover - older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ysmr_tpu.ops import assignment as asg
+
+
+_DISTRIBUTED = False
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Join a multi-process (multi-controller) JAX cluster.
+
+    The TPU-native counterpart of a multi-host pod slice (SURVEY.md section
+    5, "Distributed communication backend"): every host process calls this
+    before any device use, the coordinator wires the processes together,
+    and ``jax.devices()`` then lists the GLOBAL device set — ``make_mesh``
+    meshes over it unchanged, with DCN carrying the cross-process axis.
+
+    Parameters default to the ``YSMR_DIST_COORDINATOR`` (host:port),
+    ``YSMR_DIST_NPROCS`` and ``YSMR_DIST_PROCESS_ID`` environment
+    variables, so launchers can opt whole process trees in without code
+    changes. No-ops (returns False) when no coordinator is configured;
+    idempotent once joined.
+
+    :return: True when distributed mode is active
+    """
+    global _DISTRIBUTED
+    if _DISTRIBUTED:
+        return True
+    coordinator = coordinator or os.environ.get('YSMR_DIST_COORDINATOR')
+    if not coordinator:
+        return False
+    if num_processes is None:
+        num_processes = int(os.environ['YSMR_DIST_NPROCS'])
+    if process_id is None:
+        process_id = int(os.environ['YSMR_DIST_PROCESS_ID'])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=int(num_processes),
+                               process_id=int(process_id))
+    _DISTRIBUTED = True
+    return True
 
 
 def make_mesh(n_devices=None, axis='videos', platform=None, hosts=None):
@@ -58,6 +97,8 @@ def make_mesh(n_devices=None, axis='videos', platform=None, hosts=None):
         the CPU backend's devices explicitly always works)
     :param hosts: optional host-group count; must divide the device count
     """
+    init_distributed()  # joins a configured multi-process cluster (no-op
+    # otherwise), so the device list below is the global one
     devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:

@@ -32,7 +32,7 @@ import numpy as np
 from ysmr_tpu.ops import assignment as asg
 from ysmr_tpu.ops import gsff as gsff_ops
 
-INT_MAX = jnp.int32(2 ** 31 - 1)
+INT_MAX = np.int32(2 ** 31 - 1)  # numpy, not jnp: keep imports backend-free
 
 
 class ReferenceOrderRenumberer:
