@@ -183,6 +183,43 @@ def test_detect_from_pixels_run_cc_equals_default():
                                                             key)
 
 
+def test_det_run_idx_matches_det_px_expansion():
+    """The per-RUN det-index readback (det_px_as_runs) host-expanded over
+    the run lengths reproduces the per-pixel det_px_idx table exactly —
+    the contract that lets host-rect mode fetch ~5x fewer bytes."""
+    from tests.test_runs_wire import _random_wire
+    from ysmr_tpu.pipeline.detect_pixels import detect_from_pixels
+    from ysmr_tpu.pipeline.track_bacteria import _expand_run_det
+
+    rng = np.random.default_rng(11)
+    h, w, t, f = 120, 160, 6, 2048
+    packed, counts = _random_wire(rng, t, f, h, w)
+    runs = np.zeros((t, f), np.uint32)
+    rcnt = np.zeros(t, np.int32)
+    assert native.encode_runs_numpy(packed, counts, runs, rcnt, w=w) > 0
+    fv = np.ones(t, bool)
+    fv[-1] = False
+    kw = dict(h=h, w=w, max_det=64, max_bh=16, cc_iters=32,
+              include_luminosity=False, use_pallas=False)
+    for dt in (True, False):
+        a = detect_from_pixels(None, None, counts, None, fv,
+                               px_runs=runs[:, :512], run_counts=rcnt,
+                               expanded_f=f, double_threshold=dt,
+                               return_det_px=True, skip_rect=True,
+                               use_run_cc=True, **kw)
+        b = detect_from_pixels(None, None, counts, None, fv,
+                               px_runs=runs[:, :512], run_counts=rcnt,
+                               expanded_f=f, double_threshold=dt,
+                               return_det_px=True, skip_rect=True,
+                               use_run_cc=True, det_px_as_runs=True, **kw)
+        assert 'det_px_idx' not in b and 'det_run_idx' in b
+        expanded = _expand_run_det(runs[:, :512], rcnt,
+                                   np.asarray(b['det_run_idx']), f)
+        assert np.array_equal(expanded, np.asarray(a['det_px_idx']))
+        for key in ('det_valid', 'n_components'):
+            assert np.array_equal(np.asarray(a[key]), np.asarray(b[key]))
+
+
 @pytest.mark.e2e
 def test_pipeline_run_cc_rows_identical(tmp_path):
     """track_bacteria with 'run cc' on vs off: identical _list.csv rows

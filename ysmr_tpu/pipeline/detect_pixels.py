@@ -35,14 +35,15 @@ _RUNS_DELTA_RASTER = True
                                    'max_bh', 'cc_iters', 'include_luminosity',
                                    'lum_win', 'use_pallas', 'use_table',
                                    'return_det_px', 'skip_rect',
-                                   'expanded_f', 'use_run_cc'))
+                                   'expanded_f', 'use_run_cc',
+                                   'det_px_as_runs'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None, lum_win=48,
                        gray_frames=None, use_pallas=False, use_table=False,
                        px_packed=None, return_det_px=False, skip_rect=False,
                        px_runs=None, run_counts=None, expanded_f=None,
-                       use_run_cc=False):
+                       use_run_cc=False, det_px_as_runs=False):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -75,6 +76,12 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         detection index of every WIRE-ORDER input pixel (-1 = background /
         dropped / beyond max_det). Feeds the host-side cv2-bit-exact rect
         measurement (native cv2_rects_batch).
+    :param det_px_as_runs: with ``return_det_px`` + ``skip_rect`` on the
+        run-CC path, return ``det_run_idx`` (T, R) int16 — the detection
+        index PER RUN — instead of the (T, F) per-pixel table. Exact by
+        construction (a run is horizontally connected, so it has one
+        component); cuts the host-rect readback ~5x and skips the device
+        run->pixel expansion.
     :param skip_rect: skip the device hull/caliper rectangle entirely
         (det_xy/det_info return zeros); used when the host computes the
         cv2-exact rects so the device only labels and counts. Ignored when
@@ -96,13 +103,23 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                                        max_iters=cc_iters,
                                        use_pallas=use_pallas)
         n_components = cc_out['n_components']
-        det_px = None
+        det_px = det_run = None
         if return_det_px:
             comp_rev_run = jnp.where(
                 cc_out['run_comp'] >= 0,
                 n_components[:, None] - 1 - cc_out['run_comp'], -1)
-            det_px = rcc.det_px_from_runs(px_runs, rc_eff, comp_rev_run,
-                                          f=f, max_det=max_det)
+            if det_px_as_runs:
+                # a run is horizontally contiguous foreground, so every
+                # pixel of a run belongs to ONE component: the per-RUN det
+                # index carries the full per-pixel assignment at ~1/5 the
+                # bytes (the host expands against the run table it already
+                # holds from the wire encode) and skips the on-device
+                # (T, F) scatter+cummax expansion entirely
+                det_run = jnp.where(comp_rev_run < max_det, comp_rev_run,
+                                    -1).astype(jnp.int16)
+            else:
+                det_px = rcc.det_px_from_runs(px_runs, rc_eff, comp_rev_run,
+                                              f=f, max_det=max_det)
         if skip_rect:
             t = px_runs.shape[0]
             det_valid = jnp.arange(max_det, dtype=jnp.int32)[None, :] < \
@@ -110,7 +127,9 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             out = {'det_xy': jnp.zeros((t, max_det, 2), jnp.float32),
                    'det_info': jnp.zeros((t, max_det, 3), jnp.float32),
                    'det_valid': det_valid, 'n_components': n_components}
-            if return_det_px:
+            if det_run is not None:
+                out['det_run_idx'] = det_run
+            elif return_det_px:
                 out['det_px_idx'] = det_px.astype(jnp.int16)
             return out
         # stats/rect tables straight from the component-sorted RUN tables —

@@ -75,6 +75,26 @@ def _next_pow2(n):
     return 1 << max(int(n) - 1, 1).bit_length()
 
 
+def _expand_run_det(px_runs, run_counts, det_run, f_bucket):
+    """Per-pixel detection indices from the per-run readback.
+
+    Exact: the wire encoder (native encode_runs_batch) consumed the packed
+    pixels in order, so repeating each run's det index by its length field
+    (bits 27..31) reproduces the wire-order per-pixel table the device used
+    to ship whole (native cv2_rects_batch contract).
+    """
+    t = px_runs.shape[0]
+    out = np.full((t, f_bucket), -1, np.int16)
+    lens_all = (px_runs >> np.uint32(27)).astype(np.int64)
+    for ti in range(t):
+        rcnt = int(run_counts[ti])
+        if rcnt == 0:
+            continue
+        exp = np.repeat(det_run[ti, :rcnt], lens_all[ti, :rcnt])
+        out[ti, :exp.size] = exp
+    return out
+
+
 _RECT_LUM_JIT = None
 
 
@@ -542,18 +562,36 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         os.environ.get('YSMR_RECT_WORKER', '1') != '0')
     prev_rect_worker = {'thread': None}
 
-    def stage_host_rect_detect(tables, data, count, start, fv):
-        """Queue a detected batch for the host rect stage: slice det_px_idx
-        to the batch's pixel-count bucket, start its async readback, keep
-        the host-side wire pixels."""
-        det_px_dev = tables.pop('det_px_idx')
+    def stage_host_rect_detect(tables, data, count, start, fv,
+                               runs_args=None):
+        """Queue a detected batch for the host rect stage: slice the
+        detection-index readback to the batch's bucket, start its async
+        fetch, keep the host-side wire pixels. With the runs wire the
+        device ships ONE det index per RUN (det_run_idx, ~5x fewer bytes);
+        the host expands it against the run table it already holds."""
+        det_run_dev = tables.pop('det_run_idx', None)
         counts_np = np.asarray(data['count'])
-        f_bucket = min(det_px_dev.shape[1],
-                       max(256, _next_pow2(int(counts_np.max()) if count else 1)))
-        # n_components rides the same buffer as an extra int16 column: the
-        # consume side then pays ONE tunnel fetch per batch instead of two
-        det_px_dev = _slice_cols_with_counts(f_bucket)(
-            det_px_dev, tables['n_components'])
+        if det_run_dev is not None:
+            rc_np = runs_args['run_counts']
+            bucket = min(det_run_dev.shape[1],
+                         max(64, _next_pow2(int(rc_np.max()) if count else 1)))
+            det_px_dev = _slice_cols_with_counts(bucket)(
+                det_run_dev, tables['n_components'])
+            run_expand = (runs_args['px_runs'], rc_np,
+                          min(data['px_packed'].shape[1],
+                              max(256, _next_pow2(
+                                  int(counts_np.max()) if count else 1))))
+        else:
+            det_px_dev = tables.pop('det_px_idx')
+            run_expand = None
+            f_bucket = min(det_px_dev.shape[1],
+                           max(256,
+                               _next_pow2(int(counts_np.max()) if count else 1)))
+            # n_components rides the same buffer as an extra int16 column:
+            # the consume side then pays ONE tunnel fetch per batch instead
+            # of two
+            det_px_dev = _slice_cols_with_counts(f_bucket)(
+                det_px_dev, tables['n_components'])
         packed_np = data.get('px_packed')
         if packed_np is None:  # split-coordinate wire format (luminosity)
             packed_np = (data['px_y'].astype(np.uint32) *
@@ -584,7 +622,7 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         pending = {'det_px': det_px_dev, 'packed': packed_np,
                    'counts': counts_np, 'start': start, 'frame_valid': fv,
                    'gray_dev': gray_dev, 'fetch': fetch,
-                   'fetch_thread': fetch_thread}
+                   'fetch_thread': fetch_thread, 'run_expand': run_expand}
         if rect_worker_enabled:
             # run the whole rects -> float64-tracker tail on a worker
             # thread chained to the previous batch's worker (the tracker is
@@ -649,6 +687,9 @@ def track_bacteria(video_path, settings=None, result_folder=None):
             fused = np.asarray(pending['det_px'])
         det_px = fused[:, :-1]
         n_comp = fused[:, -1].astype(np.int32)
+        if pending['run_expand'] is not None:
+            px_runs_np, rc_np, f_bucket = pending['run_expand']
+            det_px = _expand_run_det(px_runs_np, rc_np, det_px, f_bucket)
         fv = pending['frame_valid']
         max_n = int(n_comp[fv].max()) if fv.any() else 0
         if max_n > trk_d:
@@ -855,14 +896,17 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     and 'px_gray' in data else None,
                     use_pallas=use_pallas, use_table=use_table_cc,
                     return_det_px=use_host_rects, skip_rect=use_host_rects,
-                    use_run_cc=use_run_cc)
+                    use_run_cc=use_run_cc,
+                    det_px_as_runs=use_host_rects and use_run_cc
+                    and bool(runs_args))
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state,
                                           use_pallas=use_pallas)
             if use_host_rects:
                 pending_next = stage_host_rect_detect(
-                    tables, data, count, batch['start'], frame_valid)
+                    tables, data, count, batch['start'], frame_valid,
+                    runs_args or None)
                 new_flight = None
                 if pending_det is not None:
                     new_flight = finish_host_rect(pending_det)
