@@ -376,10 +376,11 @@ def _row_tables_sorted(xs, ys, seg, active, gray_vals, *, max_det, max_bh,
 
 
 @partial(jax.jit, static_argnames=('max_det', 'max_bh', 'use_pallas_hull',
-                                   'sorted_runs', 'frame_w', 'frame_h'))
+                                   'sorted_runs', 'frame_w', 'frame_h',
+                                   'cv2_centers'))
 def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
                     max_bh=96, use_pallas_hull=False, sorted_runs=False,
-                    frame_w=0, frame_h=0):
+                    frame_w=0, frame_h=0, cv2_centers=False):
     """Per-component statistics and convex-hull candidates from point lists.
 
     Shared by the image path (flattened pixel grid) and the compact
@@ -441,7 +442,8 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
                                   max_det=max_det, max_bh=max_bh,
                                   use_pallas_hull=use_pallas_hull,
                                   count=(count_exact if (gray_vals is not None
-                                         and lum_from_sorted) else None))
+                                         and lum_from_sorted) else None),
+                                  cv2_centers=cv2_centers)
     if gray_vals is not None:
         if lum_from_sorted:
             out['lum_sum'] = lum_sum
@@ -455,9 +457,18 @@ def component_stats(xs, ys, seg, active, gray_vals=None, max_det=1024,
 
 
 def _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y, *,
-                            max_det, max_bh, use_pallas_hull, count=None):
+                            max_det, max_bh, use_pallas_hull, count=None,
+                            cv2_centers=False):
     """Row-extreme tables -> the component_stats output dict (shared by the
-    pixel-table paths and the run-table fast path)."""
+    pixel-table paths and the run-table fast path).
+
+    With ``cv2_centers`` the dict additionally carries ``cv2_cx``/
+    ``cv2_cy``/``cv2_ok``: bit-exact replicas of cv2.minAreaRect's f32
+    CENTER (ops/cv2_centers.py) for the device tracker to consume, so its
+    measurement stream matches the reference's noisy caliper centers
+    instead of our exact ones (the ~3e-4 px delta is what flips near-tie
+    greedy assignments; see tracker.py).
+    """
     big = jnp.int32(1 << 30)
     abs_y = (min_y[:, None] + jnp.arange(max_bh, dtype=jnp.int32)[None, :])
     min_x = jnp.min(jnp.where(row_valid, row_min_x, big), axis=1)
@@ -479,7 +490,7 @@ def _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y, *,
     edge_dx, edge_dy, edge_angles, edge_valid = _hull_edge_data(
         row_min_x, row_max_x, row_valid, abs_y, use_pallas=use_pallas_hull)
 
-    return {
+    out = {
         'count': count[:max_det],
         'min_x': min_x[:max_det], 'max_x': max_x[:max_det],
         'min_y': min_y[:max_det], 'max_y': max_y[:max_det],
@@ -487,10 +498,27 @@ def _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y, *,
         'edge_dx': edge_dx, 'edge_dy': edge_dy,
         'edge_angles': edge_angles, 'edge_valid': edge_valid,
     }
+    if cv2_centers:
+        from ysmr_tpu.ops.cv2_centers import (cv2_centers_from_tables,
+                                              inv_sqrt_table)
+        isq = inv_sqrt_table(_CV2_CENTER_MAX_EDGE_W, max_bh)
+        ccx, ccy, cok = cv2_centers_from_tables(
+            row_min_x, row_max_x, row_valid, min_y, isq, max_bh=max_bh)
+        out['cv2_cx'] = ccx
+        out['cv2_cy'] = ccy
+        out['cv2_ok'] = cok
+    return out
+
+
+# caliper-edge length bound for the cv2-center inv-sqrt table: components
+# with hull edges longer than this in x fall back to exact centers
+# (cv2_ok=False). 256 px covers any plausible organism at these scales
+# while keeping the embedded table small (~0.3 MB).
+_CV2_CENTER_MAX_EDGE_W = 256
 
 
 def component_stats_runs(s_start, s_len, s_comp, *, w, h, max_det, max_bh,
-                         use_pallas_hull=False):
+                         use_pallas_hull=False, cv2_centers=False):
     """component_stats straight from COMPONENT-SORTED run tables (1 frame).
 
     The run-graph CC path (ops/run_cc.py) already holds every kept
@@ -552,7 +580,8 @@ def component_stats_runs(s_start, s_len, s_comp, *, w, h, max_det, max_bh,
     min_y = jnp.where(row_valid[:, 0], y_tab[:, 0], big)
     return _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y,
                                    max_det=max_det, max_bh=max_bh,
-                                   use_pallas_hull=use_pallas_hull)
+                                   use_pallas_hull=use_pallas_hull,
+                                   cv2_centers=cv2_centers)
 
 
 @partial(jax.jit, static_argnames=('max_det', 'max_bh', 'use_pallas_hull'))

@@ -36,14 +36,15 @@ _RUNS_DELTA_RASTER = True
                                    'lum_win', 'use_pallas', 'use_table',
                                    'return_det_px', 'skip_rect',
                                    'expanded_f', 'use_run_cc',
-                                   'det_px_as_runs'))
+                                   'det_px_as_runs', 'cv2_centers'))
 def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
                        double_threshold, max_det, max_bh, cc_iters,
                        include_luminosity=False, px_gray=None, lum_win=48,
                        gray_frames=None, use_pallas=False, use_table=False,
                        px_packed=None, return_det_px=False, skip_rect=False,
                        px_runs=None, run_counts=None, expanded_f=None,
-                       use_run_cc=False, det_px_as_runs=False):
+                       use_run_cc=False, det_px_as_runs=False,
+                       cv2_centers=False):
     """Detection tables from per-frame foreground pixel lists.
 
     Inputs arrive in the host's compact wire format (int16 coordinates,
@@ -143,7 +144,7 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
             cc_out['s_start'], cc_out['s_len'], comp_rev_s,
             n_components, det_px,
             h=h, w=w, max_det=max_det, max_bh=max_bh,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, cv2_centers=cv2_centers)
     if px_runs is not None:
         # expand the run wire to the (T, F) pixel table. The linear index
         # needs NO per-pixel gather: within a run lin increments by one,
@@ -447,11 +448,13 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         det_px if return_det_px else None,
         h=h, w=w, max_det=max_det, max_bh=max_bh,
         include_luminosity=include_luminosity, exact_lum=exact_lum,
-        lum_win=lum_win, use_pallas=use_pallas, stats_sorted=stats_sorted)
+        lum_win=lum_win, use_pallas=use_pallas, stats_sorted=stats_sorted,
+        cv2_centers=cv2_centers)
 
 
 def _stats_outputs_runs(s_start, s_len, s_comp, n_components, det_px, *,
-                        h, w, max_det, max_bh, use_pallas):
+                        h, w, max_det, max_bh, use_pallas,
+                        cv2_centers=False):
     """Detect tail over component-sorted run tables (no luminosity).
 
     Same output contract as _stats_outputs; consumes (T, R) run geometry
@@ -460,13 +463,22 @@ def _stats_outputs_runs(s_start, s_len, s_comp, n_components, det_px, *,
     def per_frame(ss, sl, sc):
         tables = lb.component_stats_runs(
             ss, sl, sc, w=w, h=h, max_det=max_det, max_bh=max_bh,
-            use_pallas_hull=use_pallas)
+            use_pallas_hull=use_pallas, cv2_centers=cv2_centers)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
                                 edge_dx=tables['edge_dx'],
                                 edge_dy=tables['edge_dy'],
                                 use_pallas_sweep=use_pallas)
+        if cv2_centers:
+            # the tracker's measurement stream becomes cv2's f32 caliper
+            # center bit-for-bit (ops/cv2_centers.py); W/H/angle keep the
+            # exact decomposition
+            rect = dict(rect,
+                        cx=jnp.where(tables['cv2_ok'], tables['cv2_cx'],
+                                     rect['cx']),
+                        cy=jnp.where(tables['cv2_ok'], tables['cv2_cy'],
+                                     rect['cy']))
         return rect, tables['count'] > 0
 
     rect, det_valid = jax.vmap(per_frame)(s_start, s_len, s_comp)
@@ -483,7 +495,8 @@ def _stats_outputs_runs(s_start, s_len, s_comp, n_components, det_px, *,
 
 def _stats_outputs(seg, keep, px_x, px_y, gray_in, gray_frames, n_components,
                    det_px, *, h, w, max_det, max_bh, include_luminosity,
-                   exact_lum, lum_win, use_pallas, stats_sorted):
+                   exact_lum, lum_win, use_pallas, stats_sorted,
+                   cv2_centers=False):
     """Shared detect tail: per-component rect/luminosity tables -> out dict.
 
     Consumes (T, F) pixel tables (``seg`` = dense component id, background =
@@ -498,13 +511,23 @@ def _stats_outputs(seg, keep, px_x, px_y, gray_in, gray_frames, n_components,
             gray_vals=gray_f if (include_luminosity and not exact_lum)
             else None,
             max_det=max_det, max_bh=max_bh, use_pallas_hull=use_pallas,
-            sorted_runs=stats_sorted, frame_w=w, frame_h=h)
+            sorted_runs=stats_sorted, frame_w=w, frame_h=h,
+            cv2_centers=cv2_centers)
         rect = lb.min_area_rect(tables['points'], tables['points_valid'],
                                 edge_angles=tables['edge_angles'],
                                 edge_valid=tables['edge_valid'],
                                 edge_dx=tables['edge_dx'],
                                 edge_dy=tables['edge_dy'],
                                 use_pallas_sweep=use_pallas)
+        if cv2_centers:
+            # bit-exact cv2 caliper centers for the tracker stream (and the
+            # rotated-rect luminosity fill below — the reference fills from
+            # the cv2 rect, so the cv2 center is the closer input there too)
+            rect = dict(rect,
+                        cx=jnp.where(tables['cv2_ok'], tables['cv2_cx'],
+                                     rect['cx']),
+                        cy=jnp.where(tables['cv2_ok'], tables['cv2_cy'],
+                                     rect['cy']))
         det_valid = tables['count'] > 0
         if exact_lum:
             # reference-exact filled-rotated-rect mean (track_eval.py:290-300)

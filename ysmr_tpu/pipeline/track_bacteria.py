@@ -404,6 +404,15 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         use_host_rects = native_mod.available()
         logger.debug('cv2-exact host rect measurement: %s',
                      'on' if use_host_rects else 'native library missing')
+    # device-side bit-exact cv2 CENTERS (ops/cv2_centers.py): when the host
+    # rect path is off (dense scenes, or 'cv2 exact rects' disabled), the
+    # device tracker still consumes cv2.minAreaRect's f32 caliper center
+    # bit-for-bit — removing the dominant measurement-noise delta that
+    # flips near-tie greedy assignments (the W/H/angle columns keep the
+    # exact decomposition; remaining id deviations are the double-single
+    # GSFF residue, see tracker.py).
+    use_cv2_centers = (not use_host_rects and
+                       bool(settings.get('cv2 exact centers', True)))
     # run-length wire: raster-order foreground pixels form horizontal runs,
     # so RLE cuts the dominant host->device transfer ~4-5x at dense scale
     # (native encode_runs_batch / numpy fallback; expanded back to the
@@ -898,7 +907,8 @@ def track_bacteria(video_path, settings=None, result_folder=None):
                     return_det_px=use_host_rects, skip_rect=use_host_rects,
                     use_run_cc=use_run_cc,
                     det_px_as_runs=use_host_rects and use_run_cc
-                    and bool(runs_args))
+                    and bool(runs_args),
+                    cv2_centers=use_cv2_centers)
             else:
                 tables = det.detect_batch(data, frame_valid, config,
                                           threshold_state=threshold_state,
