@@ -15,7 +15,7 @@ jax = pytest.importorskip('jax')
 import jax.numpy as jnp  # noqa: E402
 
 from ysmr_tpu.ops import cv2_exact as oracle
-from ysmr_tpu.ops.cv2_centers import cv2_centers_from_tables, inv_sqrt_table
+from ysmr_tpu.ops.cv2_centers import cv2_centers_standalone, inv_sqrt_table
 
 R = 96
 MAX_EDGE_W = 256
@@ -118,7 +118,7 @@ def tables_from_blobs(blobs):
 def run_device(blobs):
     rmin, rmax, rvalid, min_y = tables_from_blobs(blobs)
     tab = inv_sqrt_table(MAX_EDGE_W, R)
-    cx, cy, ok = cv2_centers_from_tables(
+    cx, cy, ok = cv2_centers_standalone(
         jnp.asarray(rmin), jnp.asarray(rmax), jnp.asarray(rvalid),
         jnp.asarray(min_y), tab, max_bh=R)
     return np.asarray(cx), np.asarray(cy), np.asarray(ok)
@@ -178,3 +178,54 @@ def test_wide_component_falls_back():
     # 400 px wide with MAX_EDGE_W=256: the inv-len table cannot cover the
     # closing edges -> must be flagged, caller falls back to exact centers
     assert not ok[0]
+
+
+def test_production_path_matches_standalone():
+    """The pipeline integration (corner masks from labeling._hull_edge_data,
+    pruning areas from _min_area_rect_exact) must produce the same centers
+    as the standalone path — and hence match the oracle."""
+    from ysmr_tpu.ops import labeling as lb
+    from ysmr_tpu.pipeline.detect_pixels import _cv2_center_override
+
+    rng = np.random.default_rng(99)
+    blobs = [random_blob(rng) for _ in range(60)] + \
+        [thin_rod(rng) for _ in range(60)]
+    # pack all blobs into one synthetic frame's pixel lists, one component
+    # per blob (disjoint ids)
+    max_det = 128
+    xs_all, ys_all, seg_all = [], [], []
+    for i, (xs, ys) in enumerate(blobs):
+        # offset blobs apart so absolute coords differ per component
+        xs_all.append(xs + 200 * (i % 8))
+        ys_all.append(ys + 120 * (i // 8))
+        seg_all.append(np.full(len(xs), i, np.int32))
+    xs_all = np.concatenate(xs_all).astype(np.int32)
+    ys_all = np.concatenate(ys_all).astype(np.int32)
+    seg_all = np.concatenate(seg_all)
+    active = np.ones(len(xs_all), bool)
+    tables = lb.component_stats(
+        jnp.asarray(xs_all), jnp.asarray(ys_all), jnp.asarray(seg_all),
+        jnp.asarray(active), max_det=max_det, max_bh=R, cv2_centers=True)
+    rect = lb.min_area_rect(tables['points'], tables['points_valid'],
+                            edge_angles=tables['edge_angles'],
+                            edge_valid=tables['edge_valid'],
+                            edge_dx=tables['edge_dx'],
+                            edge_dy=tables['edge_dy'],
+                            use_pallas_sweep=False)
+    # batched override contract: (T, D, ...) with T=1
+    rect_b = {kk: v[None] for kk, v in rect.items()}
+    tabs_b = {kk: tables[kk][None] for kk in
+              ('row_min_x', 'row_max_x', 'row_valid', 'min_y',
+               'corner_l', 'corner_r')}
+    rect = _cv2_center_override(rect_b, tabs_b, max_bh=R)
+    cx = np.asarray(rect['cx'])[0]
+    cy = np.asarray(rect['cy'])[0]
+    bad = []
+    for i, (xs, ys) in enumerate(blobs):
+        (rcx, rcy), _, _ = oracle.rect_from_component_pixels(
+            xs + 200 * (i % 8), ys + 120 * (i // 8))
+        if not (np.float32(rcx) == cx[i] and np.float32(rcy) == cy[i]):
+            if not is_degenerate(xs, ys):
+                bad.append((i, float(rcx), float(rcy),
+                            float(cx[i]), float(cy[i])))
+    assert not bad, bad[:5]

@@ -38,7 +38,7 @@ def _random_tables(rng, d, r, empty_frac=0.15):
 
 def _pallas_angles(row_min, row_max, valid, abs_y):
     r = row_min.shape[1]
-    dxl, dyl, el, dxr, dyr, er = hull_edge_vectors(
+    dxl, dyl, el, dxr, dyr, er, cl, cr = hull_edge_vectors(
         jnp.asarray(row_min), jnp.asarray(row_max), jnp.asarray(valid),
         jnp.asarray(abs_y), interpret=True)
     _, _, la, lv = _edge_vector_finish(dxl, dyl, el, r)

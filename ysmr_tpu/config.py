@@ -77,12 +77,14 @@ _TPU_DEFAULTS = {
     # + float64 tracker run on one core). Raise it to opt dense scenes
     # into the bit-exact path.
     'cv2 exact rects max detections': 1024,
-    # when the host-rect path is OFF (dense scenes), compute cv2's f32
-    # caliper CENTER bit-exactly on device (ops/cv2_centers.py) and feed
-    # the tracker that instead of the exact-arithmetic center: the
-    # measurement stream then matches the reference's, leaving only the
-    # double-single GSFF residue as an id-parity deviation.
-    'cv2 exact centers': True,
+    # when the host-rect path is OFF, compute cv2's f32 caliper CENTER
+    # bit-exactly on device (ops/cv2_centers.py) and feed the tracker that
+    # instead of the exact-arithmetic center: the measurement stream then
+    # matches the reference's, leaving only the double-single GSFF residue
+    # as an id-parity deviation. 'auto' = on up to the host-rect capacity
+    # gate; 'on' forces it at dense capacities too (~10 ms device time per
+    # frame there); 'off' keeps the exact centers.
+    'cv2 exact centers': 'auto',
     # host->device wire for pixels mode: 'auto' run-length-encodes the
     # foreground pixels (raster-order blobs are horizontal runs; ~4-5x
     # less traffic at dense scale, expanded back on device), 'pixels'
@@ -588,7 +590,9 @@ def get_configs(tracking_ini_filepath=None):
             'cv2 exact rects': tpu_bool('cv2 exact rects'),
             'cv2 exact rects max detections':
                 tpu_int('cv2 exact rects max detections'),
-            'cv2 exact centers': tpu_bool('cv2 exact centers'),
+            'cv2 exact centers': str(tpu.get(
+                'cv2 exact centers',
+                _TPU_DEFAULTS['cv2 exact centers'])).strip().lower(),
             'wire format': tpu.get('wire format', 'auto').strip().lower(),
             'run cc': tpu.get('run cc', 'auto').strip().lower(),
             'compact emissions readback':

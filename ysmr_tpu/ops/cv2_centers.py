@@ -35,13 +35,24 @@ itself fuzzed against OpenCV — see tests/test_cv2_centers.py):
   rounding; dx^2+dy^2 is a small exact integer, so a precomputed table
   indexed by it reproduces the f64 rounding without f64 on device.
 
+Performance shape (the first cut ran the full support machinery for every
+edge with global sorts and (D, 4, K) gathers — 23 s per 64-frame dense
+batch): only edges whose EXACT area is within f32 rounding noise of the
+exact minimum can win cv2's f32 area comparison, so the caliper arithmetic
+runs for at most ``_N_CAND`` pruned candidates per component.  The
+pruning areas come from one MXU projection matmul over the hull corners;
+next-vertex attributes ride packed suffix-cummins and support vertices
+resolve through small mask contractions — no (D, K)-output gather or
+scatter remains (each costs ~60 ms per dense batch on this TPU).
+
 Known limits (``ok`` returns False and callers fall back to the exact
-center): components taller than the row-table budget, wider than the
-f32-key collision bound (2^23 / max_bh^2 px), or with more hull corners
-than fit the slot tables.  Self-touching contours (1-px-wide pinches) make
-cv2's own hull quirky and irreproducible from row extremes; fuzzing puts
-the residual at ~0.1% of DEGENERATE shapes (≈1 in 7200 random blobs),
-which the parity tests bound.
+center): components wider than the f32 slope-key collision bound
+(2^23 / max_bh^2 px), hull edges longer than the inv-len table, or more
+near-tie candidate edges than ``_N_CAND`` (pathologically symmetric
+shapes).  Self-touching contours (1-px-wide pinches) make cv2's own hull
+quirky and irreproducible from row extremes; fuzzing puts the residual at
+~0.1% of DEGENERATE shapes (≈1 in 7200 random blobs), which the parity
+tests bound.
 """
 from functools import partial
 
@@ -49,7 +60,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['inv_sqrt_table', 'cv2_centers_from_tables']
+__all__ = ['inv_sqrt_table', 'cv2_centers_from_tables',
+           'cv2_centers_standalone']
+
+#: caliper candidates kept per component; more near-ties than this -> ok
+#: False (exact-center fallback)
+_N_CAND = 8
+
+#: packed hull-corner slots per component; hulls with more strict corners
+#: (tall strictly-convex blobs: every row is a corner) -> ok False
+#: (exact-center fallback). Rod-like organisms have <= ~12.
+_K_HULL = 32
 
 
 def inv_sqrt_table(max_w, max_h):
@@ -68,6 +89,11 @@ def inv_sqrt_table(max_w, max_h):
 def _strict_corner_masks(xl, row_valid, *, side):
     """Strict hull-corner mask of the per-row envelope points (x, row).
 
+    Reference implementation for tests and the standalone path; the
+    production pipeline gets the identical masks from
+    ``labeling._hull_edge_data`` (whose Pallas kernel already holds the
+    min-outgoing / max-incoming slopes this computes).
+
     A point i is a strict corner of the RIGHT envelope (maximal x) iff
     min_{j<i} slope(j,i) > max_{k>i} slope(i,k); of the LEFT envelope
     (minimal x) iff max_{j<i} slope(j,i) < min_{k>i} slope(i,k).  Slopes
@@ -76,11 +102,6 @@ def _strict_corner_masks(xl, row_valid, *, side):
     quotient error < |dx| * 2^-23), so f32 min/max reductions decide the
     comparisons exactly.  Row-span endpoints come out True automatically
     (empty-side reductions are +-inf).
-
-    :param xl: (D, R) int32 envelope x per row (component-local)
-    :param row_valid: (D, R) bool, contiguous from row 0
-    :param side: 'right' or 'left'
-    :return: (D, R) bool strict-corner mask
     """
     d, r = xl.shape
     rows = jnp.arange(r, dtype=jnp.int32)
@@ -120,29 +141,26 @@ def _dot2(x1, y1, x2, y2, one):
     return (x1 * y1) * one + (x2 * y2) * one
 
 
-def _next_valid(valid):
-    """(D, K) bool -> (D, K) int32: for each slot, the next valid slot
-    cyclically after it (self excluded); garbage where no valid slot."""
-    d, k = valid.shape
-    idx = jnp.arange(k, dtype=jnp.int32)
-    big = jnp.int32(2 * k)
-    t = jnp.where(valid, idx[None, :], big)
-    # suffix min of t excluding self
-    suf = jnp.flip(jax.lax.cummin(jnp.flip(t, axis=1), axis=1), axis=1)
-    nxt = jnp.concatenate([suf[:, 1:], jnp.full((d, 1), big, jnp.int32)],
-                          axis=1)
-    first = jnp.min(t, axis=1, keepdims=True)                 # wrap target
-    return jnp.where(nxt >= big, first, nxt).astype(jnp.int32)
-
-
 @partial(jax.jit, static_argnames=('max_bh',))
 def cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
-                            isq_table, *, max_bh):
+                            corner_l, corner_r, isq_table, *, max_bh):
     """cv2.minAreaRect centers (f32, bit-exact) from row-extreme tables.
+
+    Gather/scatter-free on the wide axes (TPU gathers at (D, K)-output
+    sizes cost ~60 ms per dense batch each): the hull corners are first
+    COMPACTED to ``_K_HULL`` packed slots per component with a fused
+    compare-select-reduce (cycle order preserved, so "next vertex" becomes
+    a shift and every later tensor shrinks ~6x), pruning areas come from
+    one small projection contraction, and support vertices are direct
+    indices into the packed table.  Call once per BATCH with components
+    flattened into D (the pipeline reshapes (T, D, R) -> (T*D, R)):
+    per-frame launches are latency-bound.
 
     :param row_min_x, row_max_x: (D, R) int32 absolute x extremes per row
     :param row_valid: (D, R) bool (True on the component's bbox rows)
     :param min_y: (D,) int32 absolute top row
+    :param corner_l, corner_r: (D, R) STRICT chain-corner masks
+        (``labeling._hull_edge_data``)
     :param isq_table: 1-D f32 table from :func:`inv_sqrt_table`
     :param max_bh: R (static)
     :return: (cx, cy, ok) — (D,) f32 centers and a bool mask; where ok is
@@ -150,7 +168,10 @@ def cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
     """
     d, r = row_min_x.shape
     assert r == max_bh
+    c = _N_CAND
+    kk = _K_HULL
     big = jnp.int32(1 << 30)
+    inf = jnp.float32(np.inf)
     rows_i = jnp.arange(r, dtype=jnp.int32)
     # runtime 1.0 the compiler cannot prove constant (see _dot2): min_y is
     # int32 input, so |min_y[0]| + 2 >= 2 always and never NaN
@@ -159,74 +180,81 @@ def cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
                       jnp.float32(2.0))
 
     valid_any = jnp.any(row_valid, axis=1)
-    # heights: row_valid is a contiguous prefix for genuine components
     h = jnp.sum(row_valid.astype(jnp.int32), axis=1)
     contiguous = jnp.all(row_valid == (rows_i[None, :] < h[:, None]), axis=1)
 
     x0 = jnp.min(jnp.where(row_valid, row_min_x, big), axis=1)
     xmax = jnp.max(jnp.where(row_valid, row_max_x, -big), axis=1)
     width = xmax - x0
-    # f32 slope keys are collision-free only below this width (see
-    # _strict_corner_masks); wider components fall back
+    # f32 slope/tan keys are collision-free only below this width
     w_ok = width < (1 << 23) // max(r * r, 1)
 
     xl_min = jnp.where(row_valid, row_min_x - x0[:, None], 0)
     xl_max = jnp.where(row_valid, row_max_x - x0[:, None], 0)
 
-    corn_r = _strict_corner_masks(xl_max, row_valid, side='right')
-    corn_l = _strict_corner_masks(xl_min, row_valid, side='left')
+    corn_r = corner_r & row_valid
+    corn_l = corner_l & row_valid
     # seam dedup: single-pixel top row keeps only its LEFT copy (the
     # top-left vertex must be the cycle's last), single-pixel bottom row
     # keeps only its RIGHT copy
     top_single = xl_min[:, 0] == xl_max[:, 0]
-    corn_r = corn_r.at[:, 0].set(corn_r[:, 0] & ~top_single)
+    corn_r = corn_r & ((rows_i != 0)[None, :] | ~top_single[:, None])
     last = jnp.clip(h - 1, 0, r - 1)
-    bot_single = (jnp.take_along_axis(xl_min, last[:, None], axis=1)
-                  == jnp.take_along_axis(xl_max, last[:, None], axis=1))[:, 0]
-    corn_l_last = jnp.take_along_axis(corn_l, last[:, None], axis=1)[:, 0]
-    corn_l = corn_l.at[jnp.arange(d), last].set(corn_l_last & ~bot_single)
+    row_vals_eq = xl_min == xl_max
+    bot_single = jnp.sum(jnp.where(rows_i[None, :] == last[:, None],
+                                   row_vals_eq.astype(jnp.int32), 0),
+                         axis=1) > 0
+    corn_l = corn_l & ((rows_i[None, :] != last[:, None]) |
+                       ~bot_single[:, None])
 
-    # vertex slots in CYCLE ORDER: right corners rows 0..R-1, then left
-    # corners rows R-1..0 (down the right side, up the left side; the
-    # top-left vertex lands in the final slot)
-    k = 2 * r
-    vx = jnp.concatenate([xl_max, jnp.flip(xl_min, axis=1)], axis=1)
-    vy = jnp.concatenate([jnp.broadcast_to(rows_i, (d, r)),
-                          jnp.broadcast_to(jnp.flip(rows_i), (d, r))], axis=1)
-    vvalid = jnp.concatenate([corn_r, jnp.flip(corn_l, axis=1)], axis=1)
-    n = jnp.sum(vvalid.astype(jnp.int32), axis=1)
+    # hull cycle in order: right corners rows 0..R-1, then left corners
+    # rows R-1..0 (down the right side, up the left side; the top-left
+    # vertex lands last)
+    k2 = 2 * r
+    vx_w = jnp.concatenate([xl_max, jnp.flip(xl_min, axis=1)], axis=1)
+    vy_w = jnp.concatenate([jnp.broadcast_to(rows_i, (d, r)),
+                            jnp.broadcast_to(jnp.flip(rows_i), (d, r))],
+                           axis=1)
+    vvalid_w = jnp.concatenate([corn_r, jnp.flip(corn_l, axis=1)], axis=1)
+    n = jnp.sum(vvalid_w.astype(jnp.int32), axis=1)
+    cyc_w = jnp.cumsum(vvalid_w.astype(jnp.int32), axis=1) - \
+        vvalid_w.astype(jnp.int32)
+
+    # ---- COMPACT the corners to kk packed slots (cycle order kept) -----
+    # fused compare-select-reduce: never materializes the (D, kk, 2R)
+    # one-hot; XLA folds the broadcast compare into the reduction loop
+    jj = jnp.arange(kk, dtype=jnp.int32)
+    sel = vvalid_w[:, None, :] & (cyc_w[:, None, :] == jj[None, :, None])
+    vx = jnp.sum(jnp.where(sel, vx_w[:, None, :], 0), axis=2)  # (D, kk)
+    vy = jnp.sum(jnp.where(sel, vy_w[:, None, :], 0), axis=2)
+    vvalid = jj[None, :] < jnp.minimum(n, kk)[:, None]
+    n_ok = n <= kk
 
     # ---- n <= 2 degenerate branches (single point / line component) ----
     # the two cycle corners are exactly min_area_rect_cv's 2-point hull;
     # its center is the f32 midpoint (order-independent)
-    slots = jnp.arange(k, dtype=jnp.int32)
-    t = jnp.where(vvalid, slots[None, :], jnp.int32(2 * k))
-    s_first = jnp.argmin(t, axis=1)
-    # second valid slot: mask out the first
-    t2 = t.at[jnp.arange(d), s_first].set(jnp.int32(2 * k))
-    s_second = jnp.argmin(t2, axis=1)
-    gx = lambda s: jnp.take_along_axis(vx, s[:, None], axis=1)[:, 0]
-    gy = lambda s: jnp.take_along_axis(vy, s[:, None], axis=1)[:, 0]
-    p0x = (gx(s_first) + x0).astype(jnp.float32)
-    p0y = (gy(s_first) + min_y).astype(jnp.float32)
-    p1x = (gx(s_second) + x0).astype(jnp.float32)
-    p1y = (gy(s_second) + min_y).astype(jnp.float32)
+    p0x = (vx[:, 0] + x0).astype(jnp.float32)
+    p0y = (vy[:, 0] + min_y).astype(jnp.float32)
+    p1x = (vx[:, 1] + x0).astype(jnp.float32)
+    p1y = (vy[:, 1] + min_y).astype(jnp.float32)
     mid_cx = (p0x + p1x) * jnp.float32(0.5)
     mid_cy = (p0y + p1y) * jnp.float32(0.5)
     deg_cx = jnp.where(n == 1, p0x, mid_cx)
     deg_cy = jnp.where(n == 1, p0y, mid_cy)
 
-    # ---- edges (per valid vertex: to the next valid vertex cyclically) --
-    nxt = _next_valid(vvalid)
-    ex = jnp.take_along_axis(vx, nxt, axis=1)
-    ey = jnp.take_along_axis(vy, nxt, axis=1)
+    # ---- edges: next vertex is a SHIFT in the packed table -------------
+    is_last = jj[None, :] == (jnp.minimum(n, kk) - 1)[:, None]
+    ex = jnp.where(is_last, vx[:, :1],
+                   jnp.concatenate([vx[:, 1:], vx[:, :1]], axis=1))
+    ey = jnp.where(is_last, vy[:, :1],
+                   jnp.concatenate([vy[:, 1:], vy[:, :1]], axis=1))
     dx = ex - vx                                             # int, exact
     dy = ey - vy
     evalid = vvalid & (n[:, None] > 2)
 
     # ---- initial caliper positions: first-occurrence extremes ----------
-    # (cv2 scans hull[0..n-1] with strict replacement; our slot order IS
-    # the hull order, so argmax of the boolean picks the first hit)
+    # (cv2 scans hull[0..n-1] with strict replacement; packed order IS the
+    # hull order, so argmax of the boolean picks the first hit)
     ymax = jnp.max(jnp.where(vvalid, vy, -big), axis=1)
     xvmax = jnp.max(jnp.where(vvalid, vx, -big), axis=1)
     xvmin = jnp.min(jnp.where(vvalid, vx, big), axis=1)
@@ -238,99 +266,124 @@ def cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
     left0 = first_slot(vvalid & (vx == xvmin[:, None]))
     seq0 = jnp.stack([bot0, right0, top0, left0], axis=1)    # (D, 4)
 
-    # ---- arcs: edge at slot s belongs to caliper q when s lies in the
-    # cyclic span [seq0[q], seq0[q+1]) starting from bot0. With duplicate
+    # ---- arcs: edge j belongs to caliper q when j lies in the cyclic
+    # span [seq0[q], seq0[q+1]) starting from bot0. With duplicate
     # extremes (e.g. left0 == bot0 on a thin diagonal) the raw cyclic
     # offsets are non-monotone: a later caliper whose start coincides with
     # an earlier position must read as the END of the walk, not position 0
     # — unwrap to a monotone sequence first (the sequential caliper walk's
     # semantics: empty arcs claim no edges, earlier q wins starts).
-    rel_s = (slots[None, :] - bot0[:, None]) % k             # (D, K)
-    rel_q = (seq0 - bot0[:, None]) % k                       # (D, 4)
-    r1 = rel_q[:, 1]
-    r2 = rel_q[:, 2] + jnp.where(rel_q[:, 2] < r1, k, 0)
-    r3 = rel_q[:, 3] + k * jnp.where(
-        rel_q[:, 3] >= r2, 0, jnp.where(rel_q[:, 3] + k >= r2, 1, 2))
-    rel_mono = jnp.stack([jnp.zeros_like(r1), r1, r2, r3], axis=1)
+    n1 = jnp.maximum(n, 1)
+    rel_s = (jj[None, :] - bot0[:, None]) % n1[:, None]      # (D, kk)
+    rel_q = (seq0 - bot0[:, None]) % n1[:, None]             # (D, 4)
+    r1_ = rel_q[:, 1]
+    r2_ = rel_q[:, 2] + jnp.where(rel_q[:, 2] < r1_, n1, 0)
+    r3_ = rel_q[:, 3] + n1 * jnp.where(
+        rel_q[:, 3] >= r2_, 0, jnp.where(rel_q[:, 3] + n1 >= r2_, 1, 2))
+    rel_mono = jnp.stack([jnp.zeros_like(r1_), r1_, r2_, r3_], axis=1)
     arc = (jnp.sum((rel_mono[:, :, None] <=
                     rel_s[:, None, :]).astype(jnp.int32),
-                   axis=1) - 1).astype(jnp.int32)            # (D, K) in 0..3
+                   axis=1) - 1).astype(jnp.int32)            # (D, kk) 0..3
 
-    # ---- canonical in-quadrant directions & visit order ----------------
+    # ---- canonical in-quadrant directions & visit keys -----------------
     # R(-90): (x, y) -> (y, -x), applied arc times
     cdx = jnp.select([arc == 0, arc == 1, arc == 2], [dx, dy, -dx], -dy)
     cdy = jnp.select([arc == 0, arc == 1, arc == 2], [dy, -dx, -dy], dx)
     tan_key = cdy.astype(jnp.float32) / cdx.astype(jnp.float32)
-    inf = jnp.float32(np.inf)
     tan_key = jnp.where(evalid, tan_key, inf)
-    # stable two-key sort (tan, then caliper index); carry the slot id
-    sort_arc = jnp.where(evalid, arc, 4)
-    s_tan, s_arc, s_slot = jax.lax.sort(
-        (tan_key, sort_arc, jnp.broadcast_to(slots, (d, k))), num_keys=2)
-    # visit rank per slot (scatter the sorted position back)
-    pos = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (d, k))
-    rank = jnp.zeros((d, k), jnp.int32).at[
-        jnp.arange(d)[:, None], s_slot].set(pos)
+    arc_key = jnp.where(evalid, arc, 4)
 
-    # prefix counts per caliper in visit order: how many arc-q edges were
-    # consumed strictly before sorted position p
-    pref = []
+    # ---- candidate pruning by (approximate) exact area ------------------
+    # projections of every packed vertex onto every edge direction (and
+    # its perpendicular); extremes give du, dv and the exact-to-~2^-22
+    # area. Only edges within f32 noise of the minimum can win cv2's f32
+    # area comparison.
+    dxf_all = dx.astype(jnp.float32)
+    dyf_all = dy.astype(jnp.float32)
+    vxf = vx.astype(jnp.float32)
+    vyf = vy.astype(jnp.float32)
+    u = dxf_all[:, :, None] * vxf[:, None, :] + \
+        dyf_all[:, :, None] * vyf[:, None, :]                # (D, kk, kk)
+    v = dxf_all[:, :, None] * vyf[:, None, :] - \
+        dyf_all[:, :, None] * vxf[:, None, :]
+    pmask = vvalid[:, None, :]
+    du = jnp.max(jnp.where(pmask, u, -inf), axis=2) - \
+        jnp.min(jnp.where(pmask, u, inf), axis=2)
+    dv = jnp.max(jnp.where(pmask, v, -inf), axis=2) - \
+        jnp.min(jnp.where(pmask, v, inf), axis=2)
+    l2f = (dx * dx + dy * dy).astype(jnp.float32)
+    area_sur = du * dv / jnp.maximum(l2f, 1.0)
+    area_sur = jnp.where(evalid, area_sur, inf)
+    min_sur = jnp.min(area_sur, axis=1, keepdims=True)
+    # the f32 caliper area differs from the exact area by <= ~2^-20
+    # relative; any edge outside this band cannot win the f32 comparison
+    band = min_sur * jnp.float32(1.0 + 2.0 ** -14) + jnp.float32(1e-30)
+    in_band = evalid & (area_sur <= band)
+    n_in_band = jnp.sum(in_band.astype(jnp.int32), axis=1)
+    # top-C smallest surrogate areas ⊇ the band (when it fits)
+    _, cand_slot = jax.lax.top_k(-area_sur, c)               # (D, C)
+    cand_slot = cand_slot.astype(jnp.int32)
+    gC = lambda a: jnp.take_along_axis(a, cand_slot, axis=1)
+    cvalid = gC(in_band)
+
+    # ---- supports for the C candidates ---------------------------------
+    # visit comparisons against ALL edges: earlier(s, c) = key_s < key_c
+    ctan = gC(tan_key)
+    carc = gC(arc_key)
+    earlier = (tan_key[:, None, :] < ctan[:, :, None]) | \
+        ((tan_key[:, None, :] == ctan[:, :, None]) &
+         (arc_key[:, None, :] < carc[:, :, None]))           # (D, C, kk)
+    earlier = earlier & evalid[:, None, :]
+    cnt = []
     for q in range(4):
-        is_q = (s_arc == q).astype(jnp.int32)
-        c = jnp.cumsum(is_q, axis=1) - is_q                  # exclusive
-        pref.append(c)
-    pref = jnp.stack(pref, axis=1)                           # (D, 4, K) by pos
-    # back to slot order: counts for the edge at slot s
-    cnt = jnp.zeros((d, 4, k), jnp.int32).at[
-        jnp.arange(d)[:, None, None],
-        jnp.arange(4)[None, :, None],
-        s_slot[:, None, :]].set(pref)                        # (D, 4, slot)
+        cnt.append(jnp.sum(
+            (earlier & (arc[:, None, :] == q)).astype(jnp.int32), axis=2))
+    cnt = jnp.stack(cnt, axis=1)                             # (D, 4, C)
 
-    # ---- supports: advance cnt valid vertices from seq0[q] -------------
-    cyc_pos = jnp.cumsum(vvalid.astype(jnp.int32), axis=1) - \
-        vvalid.astype(jnp.int32)                             # rank among valid
-    # slot of the j-th valid vertex: sort slots by (invalid, cyc_pos)
-    slot_at = jnp.argsort(jnp.where(vvalid, cyc_pos, big), axis=1)\
-        .astype(jnp.int32)                                   # (D, K)
-    seq0_pos = jnp.take_along_axis(cyc_pos, seq0, axis=1)    # (D, 4)
-    n_safe = jnp.maximum(n, 1)[:, None, None]
-    adv_pos = (seq0_pos[:, :, None] + cnt) % n_safe          # (D, 4, slot)
-    sup_slot = jnp.take_along_axis(
-        slot_at[:, None, :].repeat(4, axis=1), adv_pos, axis=2)
-    # the consuming caliper sits at E's far endpoint
-    arc_oh = arc[:, None, :] == jnp.arange(4)[None, :, None]
-    sup_slot = jnp.where(arc_oh, nxt[:, None, :], sup_slot)  # (D, 4, slot)
+    # packed position == packed slot, so supports are direct indices
+    tgt = (seq0[:, :, None] + cnt) % n1[:, None, None]       # (D, 4, C)
+    cend = gC((jj[None, :] + 1) % n1[:, None])               # E's far end
+    arc_oh = carc[:, None, :] == jnp.arange(4)[None, :, None]
+    tgt = jnp.where(arc_oh, cend[:, None, :], tgt)
+    tgt_flat = tgt.reshape(d, 4 * c)
+    sup_x = jnp.take_along_axis(vx, tgt_flat, axis=1)\
+        .reshape(d, 4, c).astype(jnp.float32)
+    sup_y = jnp.take_along_axis(vy, tgt_flat, axis=1)\
+        .reshape(d, 4, c).astype(jnp.float32)
 
-    sup_x = jnp.take_along_axis(vx[:, None, :].repeat(4, axis=1),
-                                sup_slot, axis=2)            # local ints
-    sup_y = jnp.take_along_axis(vy[:, None, :].repeat(4, axis=1),
-                                sup_slot, axis=2)
-
-    # ---- per-edge f32 caliper arithmetic (cv2's exact op order) --------
-    vlen2 = (dx * dx + dy * dy).astype(jnp.int32)
+    # ---- per-candidate f32 caliper arithmetic (cv2's exact op order) ---
+    cdx_e = gC(dx)
+    cdy_e = gC(dy)
+    vlen2 = (cdx_e * cdx_e + cdy_e * cdy_e).astype(jnp.int32)
     tab_n = isq_table.shape[0]
-    vlen_ok = (vlen2 < tab_n) | ~evalid
+    vlen_ok = (vlen2 < tab_n) | ~cvalid
     iv = isq_table[jnp.clip(vlen2, 0, tab_n - 1)]
-    dxf = dx.astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
+    dxf = cdx_e.astype(jnp.float32)
+    dyf = cdy_e.astype(jnp.float32)
     lx = dxf * iv
     ly = dyf * iv
-    a = jnp.select([arc == 0, arc == 1, arc == 2], [lx, ly, -lx], -ly)
-    b = jnp.select([arc == 0, arc == 1, arc == 2], [ly, -lx, -ly], lx)
+    a = jnp.select([carc == 0, carc == 1, carc == 2], [lx, ly, -lx], -ly)
+    b = jnp.select([carc == 0, carc == 1, carc == 2], [ly, -lx, -ly], lx)
     # support differences are exact integers in f32
-    wdx = (sup_x[:, 1] - sup_x[:, 3]).astype(jnp.float32)
-    wdy = (sup_y[:, 1] - sup_y[:, 3]).astype(jnp.float32)
+    wdx = sup_x[:, 1] - sup_x[:, 3]
+    wdy = sup_y[:, 1] - sup_y[:, 3]
     rwidth = _dot2(wdx, a, wdy, b, one)
-    hdx = (sup_x[:, 2] - sup_x[:, 0]).astype(jnp.float32)
-    hdy = (sup_y[:, 2] - sup_y[:, 0]).astype(jnp.float32)
+    hdx = sup_x[:, 2] - sup_x[:, 0]
+    hdy = sup_y[:, 2] - sup_y[:, 0]
     rheight = _dot2(hdy, a, -hdx, b, one)
     area = rwidth * rheight
-    area = jnp.where(evalid, area, jnp.float32(np.inf))
+    area = jnp.where(cvalid, area, inf)
 
-    # winner: minimal f32 area, ties to the LAST visited (replace-on-<=)
+    # winner among candidates: minimal f32 area, ties to the LAST visited
+    # (cv2's replace-on-<=). Relative visit order via pairwise key compare.
     min_area = jnp.min(area, axis=1, keepdims=True)
-    tie_rank = jnp.where(area == min_area, rank, -1)
-    win = jnp.argmax(tie_rank, axis=1)                       # (D,) slot
+    later_cnt = jnp.sum(
+        (((ctan[:, :, None] > ctan[:, None, :]) |
+          ((ctan[:, :, None] == ctan[:, None, :]) &
+           (carc[:, :, None] > carc[:, None, :]))) &
+         cvalid[:, None, :]).astype(jnp.int32), axis=2)      # (D, C)
+    tie_rank = jnp.where(area == min_area, later_cnt, -1)
+    win = jnp.argmax(tie_rank, axis=1)                       # (D,) candidate
 
     g = lambda arr: jnp.take_along_axis(arr, win[:, None], axis=1)[:, 0]
     g4 = lambda arr: jnp.take_along_axis(
@@ -345,10 +398,10 @@ def cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
     # absolute support coordinates (cv2 computes on absolute hull points)
     x0f = x0.astype(jnp.float32)
     y0f = min_y.astype(jnp.float32)
-    lxx = wsx[:, 3].astype(jnp.float32) + x0f
-    lyy = wsy[:, 3].astype(jnp.float32) + y0f
-    bxx = wsx[:, 0].astype(jnp.float32) + x0f
-    byy = wsy[:, 0].astype(jnp.float32) + y0f
+    lxx = wsx[:, 3] + x0f
+    lyy = wsy[:, 3] + y0f
+    bxx = wsx[:, 0] + x0f
+    byy = wsy[:, 0] + y0f
     nb = -wb
     c1 = _dot2(lxx, wa, lyy, wb, one)
     c2 = _dot2(bxx, nb, byy, wa, one)
@@ -364,6 +417,22 @@ def cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
 
     cx = jnp.where(n <= 2, deg_cx, cal_cx)
     cy = jnp.where(n <= 2, deg_cy, cal_cy)
-    ok = (valid_any & contiguous & w_ok & (h <= r) &
+    ok = (valid_any & contiguous & w_ok & n_ok & (n_in_band <= c) &
           jnp.all(vlen_ok, axis=1))
     return cx, cy, ok
+
+
+def cv2_centers_standalone(row_min_x, row_max_x, row_valid, min_y,
+                           isq_table, *, max_bh):
+    """Self-contained entry (tests / non-pipeline callers): computes the
+    strict corner masks and candidate areas itself, then runs
+    :func:`cv2_centers_from_tables`."""
+    big = jnp.int32(1 << 30)
+    x0 = jnp.min(jnp.where(row_valid, row_min_x, big), axis=1)
+    xl_min = jnp.where(row_valid, row_min_x - x0[:, None], 0)
+    xl_max = jnp.where(row_valid, row_max_x - x0[:, None], 0)
+    corn_l = _strict_corner_masks(xl_min, row_valid, side='left')
+    corn_r = _strict_corner_masks(xl_max, row_valid, side='right')
+    return cv2_centers_from_tables(row_min_x, row_max_x, row_valid, min_y,
+                                   corn_l, corn_r, isq_table,
+                                   max_bh=max_bh)

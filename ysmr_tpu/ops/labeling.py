@@ -487,8 +487,9 @@ def _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y, *,
     # every hull vertex); their directions are the only angles at which the
     # minimal rectangle can occur (rotating-calipers theorem), and the
     # integer edge vectors allow exact area comparisons in min_area_rect.
-    edge_dx, edge_dy, edge_angles, edge_valid = _hull_edge_data(
-        row_min_x, row_max_x, row_valid, abs_y, use_pallas=use_pallas_hull)
+    edge_dx, edge_dy, edge_angles, edge_valid, corner_l, corner_r = \
+        _hull_edge_data(row_min_x, row_max_x, row_valid, abs_y,
+                        use_pallas=use_pallas_hull)
 
     out = {
         'count': count[:max_det],
@@ -499,14 +500,13 @@ def _stats_tail_from_tables(row_min_x, row_max_x, row_valid, min_y, *,
         'edge_angles': edge_angles, 'edge_valid': edge_valid,
     }
     if cv2_centers:
-        from ysmr_tpu.ops.cv2_centers import (cv2_centers_from_tables,
-                                              inv_sqrt_table)
-        isq = inv_sqrt_table(_CV2_CENTER_MAX_EDGE_W, max_bh)
-        ccx, ccy, cok = cv2_centers_from_tables(
-            row_min_x, row_max_x, row_valid, min_y, isq, max_bh=max_bh)
-        out['cv2_cx'] = ccx
-        out['cv2_cy'] = ccy
-        out['cv2_ok'] = cok
+        # raw inputs for ops/cv2_centers (computed in the detect tail,
+        # after min_area_rect provides the pruning areas)
+        out['row_min_x'] = row_min_x
+        out['row_max_x'] = row_max_x
+        out['row_valid'] = row_valid
+        out['corner_l'] = corner_l
+        out['corner_r'] = corner_r
     return out
 
 
@@ -771,23 +771,26 @@ def _hull_edge_data(row_min_x, row_max_x, row_valid, abs_y,
     1/R^2 while two f32 quotient roundings err by at most ~2*w*2^-23 —
     smaller for any frame width below ~16k/R^2 px (1228*64^2 ~ 4k here).
 
-    :return: (dx, dy, angles, valid), each (D, 2*(R-1)): folded integer edge
-        vectors (dx > 0, dy >= 0 — exact projections), their float32 angles
-        in [0, pi/2), and validity; a zero-angle candidate (the horizontal
-        closing edges) is always included via the first slot of each chain's
-        edge list when present.
+    :return: (dx, dy, angles, valid, corner_l, corner_r): the first four are
+        (D, 2*(R-1)) folded integer edge vectors (dx > 0, dy >= 0 — exact
+        projections), their float32 angles in [0, pi/2), and validity; a
+        zero-angle candidate (the horizontal closing edges) is always
+        included via the first slot of each chain's edge list when present.
+        ``corner_l``/``corner_r`` are (D, R) STRICT per-row chain-corner
+        masks (collinear mid-points excluded — the cv2 hull vertex set,
+        consumed by ops/cv2_centers).
     """
     d, r = row_min_x.shape
     if use_pallas:
         from ysmr_tpu.ops.pallas_hull import hull_edge_vectors
-        dxl, dyl, el, dxr, dyr, er = hull_edge_vectors(
+        dxl, dyl, el, dxr, dyr, er, cl, cr = hull_edge_vectors(
             row_min_x, row_max_x, row_valid, abs_y)
         lx, ly, la, lv = _edge_vector_finish(dxl, dyl, el, r)
         rx, ry, ra, rv = _edge_vector_finish(dxr, dyr, er, r)
         return (jnp.concatenate([lx, rx], axis=1),
                 jnp.concatenate([ly, ry], axis=1),
                 jnp.concatenate([la, ra], axis=1),
-                jnp.concatenate([lv, rv], axis=1))
+                jnp.concatenate([lv, rv], axis=1), cl, cr)
     ys = abs_y.astype(jnp.float32)
     big = jnp.float32(3.0e38)
     iota = jnp.arange(r, dtype=jnp.int32)
@@ -811,6 +814,7 @@ def _hull_edge_data(row_min_x, row_max_x, row_valid, abs_y,
         out_min = jnp.min(s, axis=2)                       # (D, R) over j>i
         in_max = jnp.max(jnp.where(s < big, s, -big), axis=1)  # over j<i
         on_hull = row_valid & (out_min >= in_max)
+        strict = row_valid & (out_min > in_max)
         # actual edge endpoint: the FARTHEST j attaining the min slope, so
         # collinear runs collapse to one edge per vertex like the chain
         att = pair & (s <= out_min[:, :, None])
@@ -819,21 +823,21 @@ def _hull_edge_data(row_min_x, row_max_x, row_valid, abs_y,
         jc = jnp.clip(j_star, 0, r - 1)
         dx_e = jnp.take_along_axis(x, jc, axis=1) - x
         dy_e = jnp.take_along_axis(ys, jc, axis=1) - ys
-        return _edge_vector_finish(dx_e, dy_e, has_edge, r)
+        return _edge_vector_finish(dx_e, dy_e, has_edge, r) + (strict,)
 
-    lx, ly, la, lv = chain_edges(row_min_x, right=False)
-    rx, ry, ra, rv = chain_edges(row_max_x, right=True)
+    lx, ly, la, lv, cl = chain_edges(row_min_x, right=False)
+    rx, ry, ra, rv, cr = chain_edges(row_max_x, right=True)
     return (jnp.concatenate([lx, rx], axis=1),
             jnp.concatenate([ly, ry], axis=1),
             jnp.concatenate([la, ra], axis=1),
-            jnp.concatenate([lv, rv], axis=1))
+            jnp.concatenate([lv, rv], axis=1), cl, cr)
 
 
 def _hull_edge_angles(row_min_x, row_max_x, row_valid, abs_y,
                       use_pallas=False):
     """Back-compat wrapper returning only (angles, valid)."""
-    _, _, ang, valid = _hull_edge_data(row_min_x, row_max_x, row_valid,
-                                       abs_y, use_pallas=use_pallas)
+    _, _, ang, valid, _, _ = _hull_edge_data(row_min_x, row_max_x, row_valid,
+                                             abs_y, use_pallas=use_pallas)
     return ang, valid
 
 

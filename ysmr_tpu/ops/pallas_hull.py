@@ -39,7 +39,8 @@ _BIG = 3.0e38
 
 def _make_kernel(r):
     def kernel(xl_ref, xr_ref, y_ref, v_ref,
-               dxl_ref, dyl_ref, el_ref, dxr_ref, dyr_ref, er_ref):
+               dxl_ref, dyl_ref, el_ref, dxr_ref, dyr_ref, er_ref,
+               cl_ref, cr_ref):
         xl = xl_ref[0]
         xr = xr_ref[0]
         y = y_ref[0]
@@ -93,6 +94,11 @@ def _make_kernel(r):
         dxr_ref[0] = dxe_r
         dyr_ref[0] = dye_r
         er_ref[0] = er.astype(jnp.float32)
+        # STRICT chain corners (collinear mid-points excluded): the cv2
+        # hull vertex set consumed by ops/cv2_centers. Chain endpoints come
+        # out True automatically (empty-side extrema stay at +-big).
+        cl_ref[0] = (v & (omin_l > imax_l)).astype(jnp.float32)
+        cr_ref[0] = (v & (omin_r > imax_r)).astype(jnp.float32)
 
     return kernel
 
@@ -126,10 +132,10 @@ def hull_edge_vectors(row_min_x, row_max_x, row_valid, abs_y,
         _make_kernel(r),
         grid=(dp // tile,),
         in_specs=[spec] * 4,
-        out_specs=(spec,) * 6,
-        out_shape=(jax.ShapeDtypeStruct((1, rp, dp), jnp.float32),) * 6,
+        out_specs=(spec,) * 8,
+        out_shape=(jax.ShapeDtypeStruct((1, rp, dp), jnp.float32),) * 8,
         interpret=interpret,
     )(pad_rd(row_min_x), pad_rd(row_max_x), pad_rd(abs_y),
       pad_rd(row_valid))
-    dxl, dyl, el, dxr, dyr, er = (o[0, :r, :d].T for o in outs)
-    return dxl, dyl, el > 0, dxr, dyr, er > 0
+    dxl, dyl, el, dxr, dyr, er, cl, cr = (o[0, :r, :d].T for o in outs)
+    return dxl, dyl, el > 0, dxr, dyr, er > 0, cl > 0, cr > 0

@@ -452,6 +452,38 @@ def detect_from_pixels(px_x, px_y, px_counts, px_marker, frame_valid, *, h, w,
         cv2_centers=cv2_centers)
 
 
+
+
+_CV2_TABLE_KEYS = ('row_min_x', 'row_max_x', 'row_valid', 'min_y',
+                   'corner_l', 'corner_r')
+
+
+def _cv2_center_override(rect, tables, *, max_bh):
+    """Replace rect centers with the bit-exact cv2 caliper centers
+    (ops/cv2_centers.py) where derivable; exact centers elsewhere.
+
+    Called ONCE PER BATCH on (T, D, ...) tables with components flattened
+    into the leading axis — per-frame invocations under vmap were
+    latency-bound (dozens of small kernels per frame)."""
+    from ysmr_tpu.ops import labeling as _lb
+    from ysmr_tpu.ops.cv2_centers import (cv2_centers_from_tables,
+                                          inv_sqrt_table)
+    isq = inv_sqrt_table(_lb._CV2_CENTER_MAX_EDGE_W, max_bh)
+    t, dd = rect['cx'].shape
+    flat = {kk: tables[kk].reshape((t * dd,) + tables[kk].shape[2:])
+            for kk in _CV2_TABLE_KEYS}
+    ccx, ccy, cok = cv2_centers_from_tables(
+        flat['row_min_x'], flat['row_max_x'], flat['row_valid'],
+        flat['min_y'], flat['corner_l'], flat['corner_r'],
+        isq, max_bh=max_bh)
+    ccx = ccx.reshape(t, dd)
+    ccy = ccy.reshape(t, dd)
+    cok = cok.reshape(t, dd)
+    return dict(rect,
+                cx=jnp.where(cok, ccx, rect['cx']),
+                cy=jnp.where(cok, ccy, rect['cy']))
+
+
 def _stats_outputs_runs(s_start, s_len, s_comp, n_components, det_px, *,
                         h, w, max_det, max_bh, use_pallas,
                         cv2_centers=False):
@@ -470,18 +502,16 @@ def _stats_outputs_runs(s_start, s_len, s_comp, n_components, det_px, *,
                                 edge_dx=tables['edge_dx'],
                                 edge_dy=tables['edge_dy'],
                                 use_pallas_sweep=use_pallas)
-        if cv2_centers:
-            # the tracker's measurement stream becomes cv2's f32 caliper
-            # center bit-for-bit (ops/cv2_centers.py); W/H/angle keep the
-            # exact decomposition
-            rect = dict(rect,
-                        cx=jnp.where(tables['cv2_ok'], tables['cv2_cx'],
-                                     rect['cx']),
-                        cy=jnp.where(tables['cv2_ok'], tables['cv2_cy'],
-                                     rect['cy']))
-        return rect, tables['count'] > 0
+        cv2_tabs = {kk: tables[kk] for kk in _CV2_TABLE_KEYS} \
+            if cv2_centers else {}
+        return rect, tables['count'] > 0, cv2_tabs
 
-    rect, det_valid = jax.vmap(per_frame)(s_start, s_len, s_comp)
+    rect, det_valid, cv2_tabs = jax.vmap(per_frame)(s_start, s_len, s_comp)
+    if cv2_centers:
+        # the tracker's measurement stream becomes cv2's f32 caliper
+        # center bit-for-bit (ops/cv2_centers.py); W/H/angle keep the
+        # exact decomposition. One batched call, not per-frame.
+        rect = _cv2_center_override(rect, cv2_tabs, max_bh=max_bh)
     det_xy = jnp.stack([rect['cx'], rect['cy']], axis=-1)
     det_info = jnp.stack([rect['w'], rect['h'], rect['angle_deg']], axis=-1)
     det_xy = jnp.where(det_valid[..., None], det_xy, 0.0)
@@ -519,15 +549,6 @@ def _stats_outputs(seg, keep, px_x, px_y, gray_in, gray_frames, n_components,
                                 edge_dx=tables['edge_dx'],
                                 edge_dy=tables['edge_dy'],
                                 use_pallas_sweep=use_pallas)
-        if cv2_centers:
-            # bit-exact cv2 caliper centers for the tracker stream (and the
-            # rotated-rect luminosity fill below — the reference fills from
-            # the cv2 rect, so the cv2 center is the closer input there too)
-            rect = dict(rect,
-                        cx=jnp.where(tables['cv2_ok'], tables['cv2_cx'],
-                                     rect['cx']),
-                        cy=jnp.where(tables['cv2_ok'], tables['cv2_cy'],
-                                     rect['cy']))
         det_valid = tables['count'] > 0
         if exact_lum:
             # reference-exact filled-rotated-rect mean (track_eval.py:290-300)
@@ -541,12 +562,21 @@ def _stats_outputs(seg, keep, px_x, px_y, gray_in, gray_frames, n_components,
                 jnp.maximum(tables['count'], 1) / 100.0
         else:
             lum = jnp.zeros_like(rect['cx'])
-        return rect, det_valid, lum
+        cv2_tabs = {kk: tables[kk] for kk in _CV2_TABLE_KEYS} \
+            if cv2_centers else {}
+        return rect, det_valid, lum, cv2_tabs
 
     gray_frames_in = gray_frames if exact_lum else jnp.zeros((t, 1, 1),
                                                              jnp.int32)
-    rect, det_valid, lum = jax.vmap(per_frame_stats)(
+    rect, det_valid, lum, cv2_tabs = jax.vmap(per_frame_stats)(
         seg, keep, px_x, px_y, gray_in, gray_frames_in)
+    if cv2_centers:
+        # bit-exact cv2 caliper centers for the tracker stream; one
+        # batched call (per-frame invocations are latency-bound). Note the
+        # exact-luminosity rect mean above used the exact centers — the
+        # difference is below its integer-pixel fill granularity in all
+        # but ulp-rare cases; the reference parity tests gate it.
+        rect = _cv2_center_override(rect, cv2_tabs, max_bh=max_bh)
     xy = [rect['cx'], rect['cy']]
     if include_luminosity:
         xy.append(lum)
