@@ -1166,4 +1166,35 @@ int64_t encode_runs_batch(const uint32_t* packed, const int32_t* counts,
     return max_runs;
 }
 
+// Expand per-RUN detection indices to the per-pixel wire-order table
+// (host-rect mode with the runs det readback): each run's det index
+// repeats for its length field (bits 27..31); pixels beyond the frame's
+// runs are -1. Exact by the encode_runs_batch contract — the encoder
+// consumed the packed pixels in order, so repeating by length reproduces
+// the wire-order per-pixel table the device used to ship whole. The
+// Python/numpy version of this loop (np.repeat per frame) cost
+// ~1-2 ms/frame of the dense-exact det_readback budget.
+void expand_run_det(const uint32_t* runs, const int32_t* run_counts,
+                    const int16_t* det_run, int64_t t, int64_t rs,
+                    int64_t ds, int64_t f, int16_t* out) {
+    for (int64_t ti = 0; ti < t; ++ti) {
+        const uint32_t* rr = runs + ti * rs;
+        const int16_t* dr = det_run + ti * ds;
+        int16_t* orow = out + ti * f;
+        int64_t n = run_counts[ti];
+        if (n > rs) n = rs;
+        if (n > ds) n = ds;
+        if (n < 0) n = 0;
+        int64_t pos = 0;
+        for (int64_t k = 0; k < n; ++k) {
+            int64_t len = rr[k] >> 27;
+            int16_t d = dr[k];
+            if (len > f - pos) len = f - pos;
+            for (int64_t j = 0; j < len; ++j) orow[pos + j] = d;
+            pos += len;
+        }
+        for (; pos < f; ++pos) orow[pos] = -1;
+    }
+}
+
 }  // extern "C"

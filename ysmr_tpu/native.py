@@ -84,6 +84,16 @@ def _load():
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        try:
+            lib.expand_run_det.restype = None
+            lib.expand_run_det.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
+        except AttributeError:
+            pass  # older library build
         lib.cv2_rects_batch.restype = ctypes.c_int
         lib.cv2_rects_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -863,6 +873,36 @@ def encode_runs_batch(px_packed, counts, out_runs, out_counts, w=0):
         out_runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out_runs.shape[1],
         out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(w)))
+
+
+def expand_run_det(px_runs, run_counts, det_run, f):
+    """Expand per-RUN detection indices to the (T, F) per-pixel wire-order
+    table (host-rect mode, runs det readback) — the C counterpart of
+    track_bacteria._expand_run_det (np.repeat per frame cost ~1-2 ms/frame
+    at dense scale).
+
+    :param px_runs: (T, R) uint32 run wire (length in bits 27..31)
+    :param run_counts: (T,) int32 runs per frame
+    :param det_run: (T, Rd) int16 per-run detection indices
+    :param f: output pixel-table width
+    :return: (T, F) int16 per-pixel det indices (-1 padding), or None
+        without the native library
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, 'expand_run_det'):
+        return None
+    rr = np.ascontiguousarray(px_runs, dtype=np.uint32)
+    cc = np.ascontiguousarray(run_counts, dtype=np.int32)
+    dd = np.ascontiguousarray(det_run, dtype=np.int16)
+    t = rr.shape[0]
+    out = np.empty((t, int(f)), np.int16)
+    lib.expand_run_det(
+        rr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dd.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        t, rr.shape[1], dd.shape[1], int(f),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return out
 
 
 def encode_runs_numpy(px_packed, counts, out_runs, out_counts, w=0):

@@ -704,7 +704,10 @@ def track_bacteria(video_path, settings=None, result_folder=None):
         n_comp = fused[:, -1].astype(np.int32)
         if pending['run_expand'] is not None:
             px_runs_np, rc_np, f_bucket = pending['run_expand']
-            det_px = _expand_run_det(px_runs_np, rc_np, det_px, f_bucket)
+            expanded = native_mod.expand_run_det(px_runs_np, rc_np, det_px,
+                                                 f_bucket)
+            det_px = expanded if expanded is not None else \
+                _expand_run_det(px_runs_np, rc_np, det_px, f_bucket)
         fv = pending['frame_valid']
         max_n = int(n_comp[fv].max()) if fv.any() else 0
         if max_n > trk_d:
