@@ -658,27 +658,26 @@ def measure_dense_e2e(reps=3, budget_s=None):
         'objects_per_frame': round(rows / DENSE_CLIP_FRAMES, 1),
         'tracks': tracks,
     }
-    # id-parity variant: device-side bit-exact cv2 CENTERS
-    # (ops/cv2_centers.py) cost ~10 ms/frame at this capacity but bring
-    # the device tracker's numbering closer to the reference (2893 ->
-    # 2895 of 2899 on this clip). Recorded as side evidence when the
-    # budget affords its compile + one pass.
+    # id-parity decomposition evidence: the main run above uses the
+    # device-side bit-exact cv2 CENTERS (ops/cv2_centers.py, default);
+    # one budget-gated pass with exact-arithmetic centers records the
+    # comparison (2893 vs 2895 of 2899 on this clip).
     if budget_s is None or budget_s - (time.monotonic() - t_entry) > 180:
         try:
             cset = dict(settings)
-            cset['cv2 exact centers'] = 'on'
+            cset['cv2 exact centers'] = 'off'
             res = track_bacteria(dense_clip, settings=cset,
                                  result_folder=folder)  # compile warmup
             t0 = time.perf_counter()
             res = track_bacteria(dense_clip, settings=cset,
                                  result_folder=folder)
-            out['cv2_centers_detail'] = {
+            out['exact_centers_detail'] = {
                 'fps': round(DENSE_CLIP_FRAMES /
                              (time.perf_counter() - t0), 2),
                 'tracks': int(res[0]['TRACK_ID'].nunique()),
             }
         except Exception as exc:
-            print('dense cv2-centers variant failed: {}'.format(exc),
+            print('dense exact-centers variant failed: {}'.format(exc),
                   file=sys.stderr)
     floors = [f for f in (floor_before, floor_after) if f]
     if floors:

@@ -81,9 +81,8 @@ _TPU_DEFAULTS = {
     # bit-exactly on device (ops/cv2_centers.py) and feed the tracker that
     # instead of the exact-arithmetic center: the measurement stream then
     # matches the reference's, leaving only the double-single GSFF residue
-    # as an id-parity deviation. 'auto' = on up to the host-rect capacity
-    # gate; 'on' forces it at dense capacities too (~10 ms device time per
-    # frame there); 'off' keeps the exact centers.
+    # as an id-parity deviation. Costs <1 ms/frame at any capacity
+    # (gather-free table ops); 'off' keeps the exact-arithmetic centers.
     'cv2 exact centers': 'auto',
     # host->device wire for pixels mode: 'auto' run-length-encodes the
     # foreground pixels (raster-order blobs are horizontal runs; ~4-5x

@@ -410,15 +410,12 @@ def track_bacteria(video_path, settings=None, result_folder=None):
     # caliper center bit-for-bit — removing the dominant measurement-noise
     # delta that flips near-tie greedy assignments (the W/H/angle columns
     # keep the exact decomposition; remaining id deviations are the
-    # double-single GSFF residue, see tracker.py). 'auto' enables it up to
-    # the host-rect capacity gate; at dense capacities it costs ~10 ms of
-    # device time per frame (measured: 58 -> ~32 fps on the 3000-rod
-    # clip for 2893 -> 2895 of 2899 reference-identical track ids), so
-    # dense scenes opt in with 'on'.
+    # double-single GSFF residue, see tracker.py). Gather-free it costs
+    # <1 ms/frame even at 4096-detection capacity (dense 3000-rod clip:
+    # ~58 fps either way, 2893 -> 2895 of 2899 reference-identical track
+    # ids), so 'auto' enables it whenever the device tracker measures.
     cv2c_mode = str(settings.get('cv2 exact centers', 'auto')).strip().lower()
-    use_cv2_centers = (not use_host_rects) and (
-        cv2c_mode == 'on' or
-        (cv2c_mode == 'auto' and config.max_det <= exact_rect_cap))
+    use_cv2_centers = (not use_host_rects) and cv2c_mode != 'off'
     # run-length wire: raster-order foreground pixels form horizontal runs,
     # so RLE cuts the dominant host->device transfer ~4-5x at dense scale
     # (native encode_runs_batch / numpy fallback; expanded back to the
